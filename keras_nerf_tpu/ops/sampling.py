@@ -1,0 +1,120 @@
+"""Stratified and hierarchical (inverse-CDF) sampling along rays.
+
+JAX replacements for the reference's sampling kernels with explicit PRNG-key
+threading (the TF originals use implicit global RNG state —
+`keras_nerf/data/rays.py:122`, `keras_nerf/model/nerf/utils.py:72-73`).
+
+Semantics matched to the reference:
+
+* stratified: ``linspace(near, far, N)`` plus per-pixel uniform jitter in
+  ``[-interval/2, +interval/2)`` with ``interval = (far-near)/N``, clipped back
+  to ``[near, far]`` (`rays.py:116-127`);
+* hierarchical: ``weights + 1e-5`` -> pdf -> cdf (0-prepended) ->
+  ``searchsorted(cdf, u, side='right')`` -> below/above clamp -> linear CDF
+  inversion with the ``denom < 1e-5 -> 1`` clamp (`utils.py:61-97`).
+
+TPU notes: batched searchsorted is realized as a broadcast compare-and-sum
+(``sum(cdf <= u)``) rather than a per-ray binary search — with S ~ 64 bins and
+n_fine ~ 128 draws this is a tiny [rays, n, S] VPU reduction that XLA fuses,
+whereas vmapped binary search would lower to serial while-loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_sample_points(
+    key: jax.Array,
+    batch_shape: tuple[int, ...],
+    n_samples: int,
+    near: float,
+    far: float,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Jittered linspace depths ``[*batch_shape, n_samples]`` in [near, far].
+
+    Reference: `keras_nerf/data/rays.py:116-127` (noise is centered:
+    ``u*interval - interval/2``; the result is clipped to ``[near, far]``).
+    """
+    t = jnp.linspace(near, far, n_samples, dtype=dtype)
+    interval = (far - near) / n_samples
+    noise = jax.random.uniform(
+        key, (*batch_shape, n_samples), dtype=dtype) * interval - (interval / 2)
+    return jnp.clip(t + noise, near, far)
+
+
+def batched_searchsorted_right(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """``searchsorted(cdf[..., :], u[..., :], side='right')`` per leading index.
+
+    Args:
+      cdf: ``[..., S]`` sorted along the last axis.
+      u: ``[..., N]`` query values.
+
+    Returns:
+      int32 ``[..., N]`` insertion indices in ``0..S``.
+    """
+    # side='right' insertion index == number of cdf entries <= u.
+    le = (cdf[..., None, :] <= u[..., :, None])  # [..., N, S]
+    return jnp.sum(le.astype(jnp.int32), axis=-1)
+
+
+def sample_pdf(
+    key: jax.Array,
+    mid_points: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``n_samples`` new depths per ray.
+
+    Args:
+      key: PRNG key for the uniform draws.
+      mid_points: ``[..., S]`` bin coordinates (midpoints of coarse samples).
+      weights: ``[..., S]`` unnormalized bin weights (coarse render weights
+        with the first/last sample dropped by the caller, matching
+        `keras_nerf/model/nerf/nerf.py:182-187`).
+      n_samples: number of fine samples to draw (static).
+
+    Returns:
+      ``[..., n_samples]`` sampled depths (NOT sorted — the caller sorts the
+      concatenation with the coarse depths, reference `nerf.py:190-191`).
+
+    Reference: `keras_nerf/model/nerf/utils.py:61-97`.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    u = jax.random.uniform(
+        key, (*mid_points.shape[:-1], n_samples), dtype=mid_points.dtype)
+
+    indices = batched_searchsorted_right(cdf, u)
+    below = jnp.maximum(0, indices - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, indices)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    # mid_points has one fewer entry than cdf; the reference gathers with the
+    # same (unclamped-above) indices into mid_points, relying on
+    # above <= S-1 <= len(mid_points)-1 only when indices < S. Clamp to the
+    # valid range of mid_points explicitly.
+    m_last = mid_points.shape[-1] - 1
+    bins_below = jnp.take_along_axis(
+        mid_points, jnp.minimum(below, m_last), axis=-1)
+    bins_above = jnp.take_along_axis(
+        mid_points, jnp.minimum(above, m_last), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def midpoints(sample_points: jnp.ndarray) -> jnp.ndarray:
+    """``0.5 * (t[..., 1:] + t[..., :-1])`` — the fine-sampling bin centers.
+
+    Reference: `keras_nerf/model/nerf/nerf.py:182-183`.
+    """
+    return 0.5 * (sample_points[..., 1:] + sample_points[..., :-1])

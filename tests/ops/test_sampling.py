@@ -1,0 +1,103 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.ops import (
+    batched_searchsorted_right,
+    midpoints,
+    sample_pdf,
+    stratified_sample_points,
+)
+
+
+def test_stratified_bounds_and_jitter():
+    key = jax.random.PRNGKey(0)
+    near, far, n = 2.0, 6.0, 32
+    pts = stratified_sample_points(key, (16, 16), n, near, far)
+    assert pts.shape == (16, 16, n)
+    arr = np.asarray(pts)
+    assert arr.min() >= near and arr.max() <= far
+    # Jitter is bounded by half an interval around the linspace grid.
+    base = np.linspace(near, far, n)
+    interval = (far - near) / n
+    assert np.abs(arr - base).max() <= interval / 2 + 1e-6
+    # Monotone non-decreasing along the sample axis (jitter < grid spacing).
+    # linspace spacing is (far-near)/(n-1) > interval, so order is preserved.
+    assert (np.diff(arr, axis=-1) >= -1e-6).all()
+
+
+def test_stratified_determinism_and_variation():
+    key = jax.random.PRNGKey(7)
+    a = stratified_sample_points(key, (4, 4), 8, 2.0, 6.0)
+    b = stratified_sample_points(key, (4, 4), 8, 2.0, 6.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = stratified_sample_points(jax.random.PRNGKey(8), (4, 4), 8, 2.0, 6.0)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_batched_searchsorted_matches_numpy():
+    rng = np.random.default_rng(0)
+    cdf = np.sort(rng.uniform(size=(5, 9)), axis=-1).astype(np.float32)
+    u = rng.uniform(size=(5, 13)).astype(np.float32)
+    got = np.asarray(batched_searchsorted_right(
+        jnp.asarray(cdf), jnp.asarray(u)))
+    want = np.stack([
+        np.searchsorted(cdf[i], u[i], side="right") for i in range(5)
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_midpoints():
+    t = jnp.asarray([[1.0, 2.0, 4.0]])
+    np.testing.assert_allclose(np.asarray(midpoints(t)), [[1.5, 3.0]])
+
+
+def test_sample_pdf_range_and_shape():
+    key = jax.random.PRNGKey(0)
+    mids = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 63), (128, 63))
+    weights = jax.random.uniform(jax.random.PRNGKey(1), (128, 64))
+    samples = sample_pdf(key, mids, weights, 128)
+    assert samples.shape == (128, 128)
+    arr = np.asarray(samples)
+    assert arr.min() >= 2.0 - 1e-5 and arr.max() <= 6.0 + 1e-5
+
+
+def test_sample_pdf_concentrates_on_heavy_bins():
+    """A delta-like weight distribution concentrates nearly all samples there."""
+    key = jax.random.PRNGKey(3)
+    n_bins = 64
+    mids = jnp.broadcast_to(jnp.linspace(2.0, 6.0, n_bins - 1), (256, n_bins - 1))
+    weights = np.full((256, n_bins), 1e-4, dtype=np.float32)
+    weights[:, 30] = 100.0  # heavy bin around mids ~ 2 + 4*30/62 ≈ 3.94
+    samples = np.asarray(
+        sample_pdf(key, mids, jnp.asarray(weights), 64))
+    heavy_center = 2.0 + 4.0 * 30 / 62
+    frac_near = np.mean(np.abs(samples - heavy_center) < 0.15)
+    assert frac_near > 0.9
+
+
+def test_sample_pdf_uniform_weights_roughly_uniform():
+    key = jax.random.PRNGKey(4)
+    mids = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 63), (512, 63))
+    weights = jnp.ones((512, 64))
+    samples = np.asarray(sample_pdf(key, mids, weights, 64))
+    # Mean should be near the middle of [2, 6].
+    assert abs(samples.mean() - 4.0) < 0.1
+
+
+def test_sample_pdf_deterministic_under_key():
+    key = jax.random.PRNGKey(5)
+    mids = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 31), (8, 31))
+    w = jax.random.uniform(jax.random.PRNGKey(6), (8, 32))
+    a = sample_pdf(key, mids, w, 16)
+    b = sample_pdf(key, mids, w, 16)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_pdf_jits():
+    f = jax.jit(lambda k, m, w: sample_pdf(k, m, w, 8))
+    out = f(jax.random.PRNGKey(0),
+            jnp.broadcast_to(jnp.linspace(2.0, 6.0, 7), (4, 7)),
+            jnp.ones((4, 8)))
+    assert out.shape == (4, 8)
