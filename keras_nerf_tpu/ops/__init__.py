@@ -9,6 +9,7 @@ from keras_nerf_tpu.ops.metrics import mse, psnr, ssim
 from keras_nerf_tpu.ops.rendering import RenderOutput, exclusive_cumprod, render_rays
 from keras_nerf_tpu.ops.sampling import (
     batched_searchsorted_right,
+    invert_cdf,
     midpoints,
     sample_pdf,
     stratified_sample_points,
@@ -20,6 +21,7 @@ __all__ = [
     "encode_position_and_directions",
     "encoded_dim",
     "exclusive_cumprod",
+    "invert_cdf",
     "midpoints",
     "mse",
     "positional_encoding",

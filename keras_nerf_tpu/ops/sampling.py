@@ -71,9 +71,9 @@ def sample_pdf(
     Args:
       key: PRNG key for the uniform draws.
       mid_points: ``[..., S]`` bin coordinates (midpoints of coarse samples).
-      weights: ``[..., S]`` unnormalized bin weights (coarse render weights
-        with the first/last sample dropped by the caller, matching
-        `keras_nerf/model/nerf/nerf.py:182-187`).
+      weights: ``[..., S+1]`` unnormalized bin weights (the reference passes
+        the FULL coarse render weights, one more entry than there are
+        midpoints — `keras_nerf/model/nerf/nerf.py:186-187`).
       n_samples: number of fine samples to draw (static).
 
     Returns:
@@ -82,13 +82,32 @@ def sample_pdf(
 
     Reference: `keras_nerf/model/nerf/utils.py:61-97`.
     """
+    u = jax.random.uniform(
+        key, (*mid_points.shape[:-1], n_samples), dtype=mid_points.dtype)
+    return invert_cdf(u, mid_points, weights)
+
+
+def invert_cdf(
+    u: jnp.ndarray,
+    mid_points: jnp.ndarray,
+    weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Deterministic CDF inversion given uniform draws ``u [..., N]``.
+
+    Split out from :func:`sample_pdf` so tests can inject fixed uniforms for
+    numerical parity against the reference math.
+
+    Deviation from the reference: the reference gathers ``mid_points`` with
+    indices clamped only to the CDF's range (two past the end of
+    ``mid_points`` — `utils.py:78-88`), which is out-of-range whenever a draw
+    lands in the last two bins (silently zero on TF-GPU, an error on TF-CPU).
+    We clamp to the valid midpoint range, so tail draws resolve to the last
+    midpoint instead of collapsing toward the origin.
+    """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
-
-    u = jax.random.uniform(
-        key, (*mid_points.shape[:-1], n_samples), dtype=mid_points.dtype)
 
     indices = batched_searchsorted_right(cdf, u)
     below = jnp.maximum(0, indices - 1)

@@ -1,0 +1,104 @@
+import os
+
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.data import DatasetLoader, load_image, write_synthetic_scene
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    out = tmp_path_factory.mktemp("scene")
+    return write_synthetic_scene(
+        str(out), image_wh=32, n_train=6, n_val=2, n_test=2)
+
+
+def test_scene_layout(scene):
+    for split in ["train", "val", "test"]:
+        assert os.path.exists(os.path.join(scene, f"transforms_{split}.json"))
+    assert os.path.exists(os.path.join(scene, "train", "r_0.png"))
+
+
+def test_scene_images_nontrivial(scene):
+    img = load_image(os.path.join(scene, "train", "r_0.png"), 32, 32)
+    assert img.shape == (32, 32, 4)
+    assert img.dtype == np.float32
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # The sphere occupies part of the frame: some opaque, some empty pixels.
+    alpha = img[..., 3]
+    assert 0.05 < alpha.mean() < 0.95
+
+
+def test_image_loader_white_background(scene):
+    path = os.path.join(scene, "train", "r_0.png")
+    black = load_image(path, 32, 32, white_background=False)
+    white = load_image(path, 32, 32, white_background=True)
+    empty = black[..., 3] < 0.5
+    # Empty pixels: black bg -> 0, white bg -> 1.
+    assert np.allclose(black[empty][:, :3], 0.0, atol=1e-5)
+    assert np.allclose(white[empty][:, :3], 1.0, atol=1e-5)
+    # Occupied pixels identical under both backgrounds.
+    occ = black[..., 3] > 0.99
+    np.testing.assert_allclose(black[occ], white[occ], atol=1e-6)
+
+
+def test_image_loader_resize(scene):
+    img = load_image(os.path.join(scene, "train", "r_0.png"), 16, 16)
+    assert img.shape == (16, 16, 4)
+
+
+def test_dataset_loader_splits(scene):
+    train, val, test = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=32, image_height=32,
+        near=2.0, far=6.0, n_sample=8)
+    assert train.num_examples == 6
+    assert val.num_examples == 2
+    assert test.num_examples == 2
+    assert len(train) == 3  # 6 images / batch 2
+
+    images, (ray_o, ray_d, points) = next(iter(train))
+    assert images.shape == (2, 32, 32, 4)
+    assert ray_o.shape == (2, 32, 32, 3)
+    assert ray_d.shape == (2, 32, 32, 3)
+    assert points.shape == (2, 32, 32, 8)
+
+
+def test_dataset_shuffle_changes_order_but_jitter_fresh(scene):
+    train, _, _ = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=32, image_height=32,
+        near=2.0, far=6.0, n_sample=8)
+    b1 = np.concatenate(
+        [np.asarray(img).sum(axis=(1, 2, 3)) for img, _ in train])
+    b2 = np.concatenate(
+        [np.asarray(img).sum(axis=(1, 2, 3)) for img, _ in train])
+    # Same multiset of images across epochs (shuffle only permutes).
+    np.testing.assert_allclose(sorted(b1), sorted(b2), rtol=1e-6)
+    # Jitter differs per epoch.
+    p1 = np.asarray(next(iter(train))[1][2])
+    p2 = np.asarray(next(iter(train))[1][2])
+    assert not np.allclose(p1, p2)
+
+
+def test_dataset_drop_remainder(scene):
+    train, _, _ = DatasetLoader(scene).load_dataset(
+        batch_size=4, image_width=32, image_height=32,
+        near=2.0, far=6.0, n_sample=8)
+    assert len(train) == 1  # 6 // 4
+    batches = list(train)
+    assert len(batches) == 1
+
+
+def test_synthetic_view_consistency(scene):
+    """The same scene rendered from a pose via the library equals the PNG on
+    disk for that pose — geometry/pose plumbing agrees end to end."""
+    import json
+
+    from keras_nerf_tpu.data import render_pose
+    with open(os.path.join(scene, "transforms_train.json")) as f:
+        meta = json.load(f)
+    frame = meta["frames"][0]
+    c2w = np.asarray(frame["transform_matrix"], dtype=np.float32)
+    want = load_image(os.path.join(scene, "train", "r_0.png"), 32, 32)
+    got = render_pose(c2w, 32)
+    # PNG round-trip quantizes to 1/255.
+    np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
