@@ -1,0 +1,113 @@
+"""360-degree orbit rendering CLI.
+
+Rebuild of the reference `inference.py` (`/root/reference/inference.py:13-126`):
+load a trained model purely from ``--model_dirs``, build ``pose_spherical``
+cameras for theta in ``0..350`` step ``--output_freq``, render each frame's
+fine image through the chunked engine, write ``{output_dir}/{name}.gif`` at
+20 fps. Depth frames are also collected and written as ``{name}_depth.gif``
+(the reference collects but never writes them — `inference.py:110-122`).
+"""
+
+import argparse
+import logging
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    # NeRF Dataset Directory
+    parser.add_argument('--name', type=str, default='',
+                        help='Name of the nerf model')
+
+    # NeRF Model Parameters
+    parser.add_argument('--model_dirs', type=str, required=True)
+    parser.add_argument('--ray_chunks', type=int, default=4096)
+
+    # NeRF Dataset Parameters
+    parser.add_argument('--img_wh', type=int, default=128)
+    parser.add_argument('--near', type=float, default=2.0)
+    parser.add_argument('--far', type=float, default=6.0)
+    parser.add_argument('--fov', type=float, default=0.6911112070083618)
+    parser.add_argument('--eagerly', action='store_true')
+    parser.add_argument('--white_bg', action='store_true')
+    parser.add_argument('--mixed_precision', action='store_true')
+
+    # View Parameters
+    parser.add_argument('--phi', type=float, default=-30.0)
+    parser.add_argument('--z_translate', type=float, default=4.0)
+
+    # Output Directory
+    parser.add_argument('--output_dir', type=str, default='output')
+    parser.add_argument('--output_freq', type=int, default=10)
+    parser.add_argument('--verbose', action='store_true')
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format='%(asctime)s | %(name)s | %(levelname)s | %(message)s')
+    logging.info(args)
+
+    import imageio.v2 as imageio
+    import jax
+    import numpy as np
+    from tqdm import tqdm
+
+    from keras_nerf_tpu.data import (
+        generate_ray_batch,
+        get_focal_from_fov,
+        pose_spherical,
+    )
+    from keras_nerf_tpu.models import NeRF
+    from keras_nerf_tpu.utils import checkpoint as ckpt
+
+    if args.eagerly:
+        jax.config.update('jax_disable_jit', True)
+
+    # Validate the checkpoint exists (`inference.py:51-54`).
+    if not ckpt.has_weights(args.model_dirs):
+        raise FileNotFoundError(
+            f'Model weights not found in {args.model_dirs} '
+            f'(need {ckpt.COARSE_WEIGHTS} and {ckpt.FINE_WEIGHTS})')
+
+    nerf = NeRF(
+        model_path=args.model_dirs,
+        compute_dtype='bfloat16' if args.mixed_precision else 'float32')
+    nerf.compile(
+        batch_size=1,
+        image_height=args.img_wh,
+        image_width=args.img_wh,
+        ray_chunks=args.ray_chunks,
+        white_background=args.white_bg,
+        is_training=False,
+    )
+
+    focal = get_focal_from_fov(args.fov, args.img_wh)
+    thetas = list(range(0, 360, args.output_freq))
+
+    frames, depth_frames = [], []
+    key = jax.random.PRNGKey(42)
+    for i, theta in enumerate(tqdm(thetas, desc='Rendering orbit')):
+        c2w = pose_spherical(float(theta), args.phi, args.z_translate)
+        rays = generate_ray_batch(
+            np.asarray(c2w)[None], jax.random.fold_in(key, i),
+            image_height=args.img_wh, image_width=args.img_wh,
+            focal=focal, near=args.near, far=args.far,
+            n_samples=nerf.config.n_coarse)
+        _, fine = nerf.predict_and_render_images(rays)
+        frame = np.asarray(fine['image'][0])
+        frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
+        depth = np.asarray(fine['depth'][0])
+        d = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
+        depth_frames.append((d * 255).astype(np.uint8))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    gif_path = os.path.join(args.output_dir, f'{args.name}.gif')
+    imageio.mimwrite(gif_path, frames, fps=20)
+    imageio.mimwrite(
+        os.path.join(args.output_dir, f'{args.name}_depth.gif'),
+        depth_frames, fps=20)
+    logging.info('Wrote %s (%d frames)', gif_path, len(frames))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,399 @@
+"""The coarse+fine NeRF forward/training engine as pure jit-able functions.
+
+Functional replacement for the reference's Keras training core
+(`keras_nerf/model/nerf/nerf.py:175-497`): chunked coarse+fine rendering,
+per-chunk gradient accumulation, two independent Adam optimizers, MSE/PSNR/
+SSIM metrics. Everything here is a pure function of (params, batch, key) —
+the TPU-first shape that one `jax.jit` (optionally with shardings) compiles
+into a single device program.
+
+Key semantic matches to the reference:
+
+* the fine model samples from the COARSE render's weights with a hard
+  stop-gradient boundary — fine loss never backprops into coarse params
+  (structural: separate trees; plus explicit ``stop_gradient`` matching the
+  untaped coarse weights of `nerf.py:390-417`);
+* fine depths = ``sort(concat(coarse_t, sampled_t))`` (`nerf.py:190-191`);
+* per-chunk MSE, gradients averaged over ``num_chunks`` (`nerf.py:376-388`)
+  — identical to the global gradient of the mean loss for equal chunks;
+* one optimizer step per *batch* (not per chunk), two optimizers
+  (`nerf.py:453-458`, `nerf.py:163-165`).
+
+TPU design notes:
+
+* ``--ray_chunks`` is realized as a `lax.scan` over a ``[num_chunks, chunk,
+  ...]`` reshape — the reference's Python loop of GradientTapes
+  (`nerf.py:351`) becomes one compiled loop whose backward memory is a single
+  chunk's activations (grad is taken per chunk inside the scan, exactly like
+  the per-chunk tapes);
+* when the whole batch fits in HBM, pass ``ray_chunks == num_rays`` for a
+  single fused pass (the reference's clamp fast path, `nerf.py:95-98`);
+* matmuls run in ``compute_dtype`` (bfloat16 on TPU) with float32 master
+  params, encodings and quadrature in float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from keras_nerf_tpu.models.mlp import MLPConfig, apply_mlp, init_mlp
+from keras_nerf_tpu.ops.encoding import encode_position_and_directions, encoded_dim
+from keras_nerf_tpu.ops.metrics import psnr as psnr_fn
+from keras_nerf_tpu.ops.metrics import ssim as ssim_fn
+from keras_nerf_tpu.ops.rendering import RenderOutput, render_rays
+from keras_nerf_tpu.ops.sampling import midpoints, sample_pdf
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Static model + rendering hyperparameters.
+
+    Field names/defaults mirror the reference ctor (`nerf.py:11-22`) and its
+    ``model_config.json`` contract (`nerf.py:47-55`).
+    """
+
+    n_coarse: int = 64
+    n_fine: int = 128
+    pos_emb_xyz: int = 10
+    pos_emb_dir: int = 4
+    n_layers: int = 8
+    dense_units: int = 256
+    skip_layer: int = 4
+    white_background: bool = False
+    compute_dtype: str = "float32"
+
+    @property
+    def mlp(self) -> MLPConfig:
+        return MLPConfig(
+            n_layers=self.n_layers,
+            dense_units=self.dense_units,
+            skip_layer=self.skip_layer,
+        )
+
+    @property
+    def in_xyz(self) -> int:
+        return encoded_dim(3, self.pos_emb_xyz)
+
+    @property
+    def in_dir(self) -> int:
+        return encoded_dim(3, self.pos_emb_dir)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    def to_model_config(self) -> dict:
+        """The 7-key ``model_config.json`` payload (`nerf.py:47-55`)."""
+        return {
+            "n_coarse": self.n_coarse,
+            "n_fine": self.n_fine,
+            "pos_emb_xyz": self.pos_emb_xyz,
+            "pos_emb_dir": self.pos_emb_dir,
+            "n_layers": self.n_layers,
+            "dense_units": self.dense_units,
+            "skip_layer": self.skip_layer,
+        }
+
+    @classmethod
+    def from_model_config(cls, config: dict, **overrides) -> "NeRFConfig":
+        return cls(**{**config, **overrides})
+
+
+class TrainState(NamedTuple):
+    """Trainable state: two param trees + two optimizer states + step count."""
+
+    coarse_params: Params
+    fine_params: Params
+    coarse_opt: optax.OptState
+    fine_opt: optax.OptState
+    step: jnp.ndarray
+
+
+def init_params(key: jax.Array, config: NeRFConfig) -> tuple[Params, Params]:
+    """Initialize independent coarse and fine MLP parameter trees."""
+    kc, kf = jax.random.split(key)
+    coarse = init_mlp(kc, config.mlp, config.in_xyz, config.in_dir)
+    fine = init_mlp(kf, config.mlp, config.in_xyz, config.in_dir)
+    return coarse, fine
+
+
+def make_optimizer(optimizer: str | optax.GradientTransformation,
+                   learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    """String -> optax optimizer (the `tf.keras.optimizers.get` equivalent,
+    `nerf.py:163-165`; Keras Adam defaults => lr 1e-3)."""
+    if not isinstance(optimizer, str):
+        return optimizer
+    name = optimizer.lower()
+    factories = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+        "rmsprop": optax.rmsprop,
+        "adagrad": optax.adagrad,
+        "lamb": optax.lamb,
+    }
+    if name not in factories:
+        raise ValueError(
+            f"unknown optimizer '{optimizer}'; options: {sorted(factories)}")
+    return factories[name](learning_rate)
+
+
+def init_train_state(
+    key: jax.Array,
+    config: NeRFConfig,
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    coarse, fine = init_params(key, config)
+    return TrainState(
+        coarse_params=coarse,
+        fine_params=fine,
+        coarse_opt=optimizer.init(coarse),
+        fine_opt=optimizer.init(fine),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def render_chunk(
+    params: Params,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    coarse_points: jnp.ndarray,
+    key: jax.Array,
+    config: NeRFConfig,
+    coarse_weights: jnp.ndarray | None = None,
+) -> tuple[RenderOutput, jnp.ndarray]:
+    """Render one chunk of rays through one MLP.
+
+    With ``coarse_weights`` given this is the fine pass: inverse-CDF sample
+    ``n_fine`` extra depths from the (stop-gradient) coarse weights, merge and
+    sort with the coarse depths (`nerf.py:175-216`). Returns the render and
+    the depths actually used.
+    """
+    if coarse_weights is not None:
+        mids = midpoints(coarse_points)
+        fine_points = sample_pdf(
+            key, mids, jax.lax.stop_gradient(coarse_weights), config.n_fine)
+        points = jnp.sort(
+            jnp.concatenate([coarse_points, fine_points], axis=-1), axis=-1)
+    else:
+        points = coarse_points
+
+    enc_xyz, enc_dir = encode_position_and_directions(
+        origin, direction, points, config.pos_emb_xyz, config.pos_emb_dir)
+    rgb, sigma = apply_mlp(params, enc_xyz, enc_dir, config.mlp, config.dtype)
+    out = render_rays(rgb, sigma, points,
+                      white_background=config.white_background)
+    return out, points
+
+
+def render_chunk_pair(
+    coarse_params: Params,
+    fine_params: Params,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    coarse_points: jnp.ndarray,
+    key: jax.Array,
+    config: NeRFConfig,
+) -> tuple[RenderOutput, RenderOutput]:
+    """Coarse pass then weight-guided fine pass (`nerf.py:218-227`)."""
+    out_c, _ = render_chunk(
+        coarse_params, origin, direction, coarse_points, key, config)
+    out_f, _ = render_chunk(
+        fine_params, origin, direction, coarse_points, key, config,
+        coarse_weights=out_c.weights)
+    return out_c, out_f
+
+
+def _flatten_rays(rays, num_rays: int, n_coarse: int):
+    origin, direction, points = rays
+    return (origin.reshape(num_rays, 3),
+            direction.reshape(num_rays, 3),
+            points.reshape(num_rays, n_coarse))
+
+
+def _chunked(x: jnp.ndarray, num_chunks: int):
+    return x.reshape(num_chunks, x.shape[0] // num_chunks, *x.shape[1:])
+
+
+def render_image_batch(
+    coarse_params: Params,
+    fine_params: Params,
+    rays,
+    key: jax.Array,
+    config: NeRFConfig,
+    ray_chunks: int,
+) -> tuple[dict, dict]:
+    """Full-image chunked inference (`predict_and_render_images`,
+    `nerf.py:229-304`).
+
+    Args:
+      rays: ``(origin [B,H,W,3], direction [B,H,W,3], points [B,H,W,Nc])``.
+
+    Returns:
+      ``(coarse, fine)`` dicts with ``image [B,H,W,3]``, ``depth [B,H,W]``,
+      ``weights [B,H,W,S]``.
+    """
+    b, h, w = rays[0].shape[:3]
+    num_rays = b * h * w
+    ray_chunks = min(ray_chunks, num_rays)
+    assert num_rays % ray_chunks == 0, (
+        f"ray_chunks {ray_chunks} must divide num_rays {num_rays}")
+    num_chunks = num_rays // ray_chunks
+
+    o, d, t = _flatten_rays(rays, num_rays, config.n_coarse)
+    xs = (_chunked(o, num_chunks), _chunked(d, num_chunks),
+          _chunked(t, num_chunks), jax.random.split(key, num_chunks))
+
+    def body(_, x):
+        oc, dc, tc, k = x
+        out_c, out_f = render_chunk_pair(
+            coarse_params, fine_params, oc, dc, tc, k, config)
+        return None, (out_c, out_f)
+
+    _, (out_c, out_f) = jax.lax.scan(body, None, xs)
+
+    def unchunk(out: RenderOutput) -> dict:
+        s = out.weights.shape[-1]
+        return {
+            "image": out.image.reshape(b, h, w, 3),
+            "depth": out.depth.reshape(b, h, w),
+            "weights": out.weights.reshape(b, h, w, s),
+        }
+
+    return unchunk(out_c), unchunk(out_f)
+
+
+def _batch_metrics(images_c, images_f, target, loss_c, loss_f) -> dict:
+    """The six tracked metrics (`nerf.py:306-330`): coarse/fine x
+    loss/psnr/ssim; PSNR/SSIM averaged over batch images."""
+    return {
+        "coarse_loss": loss_c,
+        "coarse_psnr": jnp.mean(psnr_fn(images_c, target)),
+        "coarse_ssim": jnp.mean(ssim_fn(images_c, target)),
+        "fine_loss": loss_f,
+        "fine_psnr": jnp.mean(psnr_fn(images_f, target)),
+        "fine_ssim": jnp.mean(ssim_fn(images_f, target)),
+    }
+
+
+def train_step(
+    state: TrainState,
+    batch,
+    key: jax.Array,
+    optimizer: optax.GradientTransformation,
+    config: NeRFConfig,
+    ray_chunks: int,
+    axis_name: str | None = None,
+) -> tuple[TrainState, dict]:
+    """One optimizer step over one batch of whole-image rays.
+
+    Mirrors `NeRF.train_step` (`nerf.py:332-473`): per-chunk forward+grad for
+    coarse and fine (fine's sampling reads stop-gradient coarse weights),
+    gradients averaged across chunks, one apply per model, metrics computed
+    on the re-assembled full images.
+
+    With ``axis_name`` set (inside shard_map over a device mesh), this is the
+    per-device body of synchronous data parallelism: gradients and metrics
+    are ``pmean``-ed across the axis BEFORE the optimizer applies them, so
+    every device steps identically on replicated params — the shard_map/psum
+    equivalent of MirroredStrategy's implicit all-reduce (`train.py:75`,
+    SURVEY.md §2 "parallelism strategies"). The RNG key is decorrelated per
+    device by folding in the axis index.
+    """
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    images, rays = batch
+    b, h, w = images.shape[:3]
+    num_rays = b * h * w
+    num_chunks = num_rays // ray_chunks
+    target = images[..., :3].reshape(num_rays, 3)
+
+    o, d, t = _flatten_rays(rays, num_rays, config.n_coarse)
+    xs = (
+        _chunked(o, num_chunks), _chunked(d, num_chunks),
+        _chunked(t, num_chunks), _chunked(target, num_chunks),
+        jax.random.split(key, num_chunks),
+    )
+
+    def chunk_loss(both_params, oc, dc, tc, tgt, k):
+        coarse_params, fine_params = both_params
+        out_c, out_f = render_chunk_pair(
+            coarse_params, fine_params, oc, dc, tc, k, config)
+        loss_c = jnp.mean(jnp.square(out_c.image - tgt))
+        loss_f = jnp.mean(jnp.square(out_f.image - tgt))
+        return loss_c + loss_f, (loss_c, loss_f, out_c.image, out_f.image)
+
+    grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
+    params = (state.coarse_params, state.fine_params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+    def body(acc, x):
+        oc, dc, tc, tgt, k = x
+        (_, aux), grads = grad_fn(params, oc, dc, tc, tgt, k)
+        acc = jax.tree.map(jnp.add, acc, grads)
+        return acc, aux
+
+    (grads_c, grads_f), aux = jax.lax.scan(body, zero_grads, xs)
+    inv = 1.0 / num_chunks
+    grads_c = jax.tree.map(lambda g: g * inv, grads_c)
+    grads_f = jax.tree.map(lambda g: g * inv, grads_f)
+
+    loss_c_chunks, loss_f_chunks, img_c_chunks, img_f_chunks = aux
+    loss_c = jnp.mean(loss_c_chunks)
+    loss_f = jnp.mean(loss_f_chunks)
+
+    if axis_name is not None:
+        grads_c = jax.lax.pmean(grads_c, axis_name)
+        grads_f = jax.lax.pmean(grads_f, axis_name)
+
+    updates_c, opt_c = optimizer.update(
+        grads_c, state.coarse_opt, state.coarse_params)
+    updates_f, opt_f = optimizer.update(
+        grads_f, state.fine_opt, state.fine_params)
+
+    new_state = TrainState(
+        coarse_params=optax.apply_updates(state.coarse_params, updates_c),
+        fine_params=optax.apply_updates(state.fine_params, updates_f),
+        coarse_opt=opt_c,
+        fine_opt=opt_f,
+        step=state.step + 1,
+    )
+
+    metrics = _batch_metrics(
+        img_c_chunks.reshape(b, h, w, 3),
+        img_f_chunks.reshape(b, h, w, 3),
+        images[..., :3], loss_c, loss_f)
+    if axis_name is not None:
+        metrics = jax.lax.pmean(metrics, axis_name)
+    return new_state, metrics
+
+
+def eval_step(
+    state: TrainState,
+    batch,
+    key: jax.Array,
+    config: NeRFConfig,
+    ray_chunks: int,
+    axis_name: str | None = None,
+) -> dict:
+    """Chunked full inference + metrics (`NeRF.test_step`, `nerf.py:475-497`)."""
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    images, rays = batch
+    target = images[..., :3]
+    out_c, out_f = render_image_batch(
+        state.coarse_params, state.fine_params, rays, key, config, ray_chunks)
+    loss_c = jnp.mean(jnp.square(out_c["image"] - target))
+    loss_f = jnp.mean(jnp.square(out_f["image"] - target))
+    metrics = _batch_metrics(out_c["image"], out_f["image"], target,
+                             loss_c, loss_f)
+    if axis_name is not None:
+        metrics = jax.lax.pmean(metrics, axis_name)
+    return metrics

@@ -1,0 +1,246 @@
+"""The user-facing NeRF model: reference-compatible API over the pure engine.
+
+Mirrors the reference ``NeRF(tf.keras.Model)`` surface
+(`keras_nerf/model/nerf/nerf.py:11-508`): ctor from hyperparams or
+``model_path``, ``compile()``, ``fit()``, ``train_step``/``test_step``,
+``predict_and_render_images``, ``save_model``/``load_model`` — but the state
+is an explicit :class:`~keras_nerf_tpu.models.engine.TrainState` pytree and
+every step is one jitted pure function (donated state, so parameter memory is
+updated in place on device).
+
+Multi-device: pass ``mesh=`` to :meth:`compile` and every batch is sharded
+over the mesh's ``data`` axis along the image-batch dimension while params
+stay replicated — XLA inserts the gradient all-reduce (psum) automatically.
+This replaces the reference's ``tf.distribute.MirroredStrategy``
+(`train.py:75`).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_nerf_tpu.models import engine
+from keras_nerf_tpu.models.engine import NeRFConfig, TrainState
+from keras_nerf_tpu.utils import checkpoint
+
+
+class MeanTracker:
+    """Running mean over an epoch (`tf.keras.metrics.Mean` stand-in)."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, value: float):
+        self.total += float(value)
+        self.count += 1
+
+    def result(self) -> float:
+        return self.total / max(self.count, 1)
+
+    def reset(self):
+        self.total, self.count = 0.0, 0
+
+
+class NeRF:
+    """Coarse+fine NeRF with chunked training (reference `nerf.py:11`)."""
+
+    METRIC_NAMES = ("coarse_loss", "coarse_psnr", "coarse_ssim",
+                    "fine_loss", "fine_psnr", "fine_ssim")
+
+    def __init__(self, n_coarse: int = 64, n_fine: int = 128,
+                 pos_emb_xyz: int = 10, pos_emb_dir: int = 4,
+                 n_layers: int = 8, dense_units: int = 256,
+                 skip_layer: int = 4, model_path: str | None = None,
+                 compute_dtype: str = "float32", **_):
+        self.model_path = model_path
+        if model_path is None:
+            self.config = NeRFConfig(
+                n_coarse=n_coarse, n_fine=n_fine,
+                pos_emb_xyz=pos_emb_xyz, pos_emb_dir=pos_emb_dir,
+                n_layers=n_layers, dense_units=dense_units,
+                skip_layer=skip_layer, compute_dtype=compute_dtype)
+            logging.info("Creating NeRF model: %s", self.config)
+        else:
+            self.config = checkpoint.load_model_config(
+                model_path, compute_dtype=compute_dtype)
+            logging.info("Loaded NeRF config from %s: %s",
+                         model_path, self.config)
+        self.state: TrainState | None = None
+        self._compiled = False
+
+    # ------------------------------------------------------------------ setup
+
+    def compile(self, optimizer="adam", loss="mse", batch_size: int = 1,
+                image_height: int = 128, image_width: int = 128,
+                ray_chunks: int = 1024, white_background: bool = False,
+                is_training: bool = True, learning_rate: float = 1e-3,
+                seed: int = 42, mesh=None, **_):
+        """Finalize shapes, build params/optimizers, jit the step functions.
+
+        Mirrors `nerf.py:78-114`: clamps ``ray_chunks`` to ``num_rays``,
+        asserts divisibility, builds utils, initializes accumulators (here:
+        nothing to pre-allocate — grads are scan carries) and two optimizers.
+        """
+        if loss not in ("mse", None) and not callable(loss):
+            raise ValueError(f"unsupported loss: {loss!r} (the engine trains "
+                             "with per-chunk MSE, like the reference)")
+        self.config = NeRFConfig(
+            **{**self.config.to_model_config(),
+               "white_background": white_background,
+               "compute_dtype": self.config.compute_dtype})
+        self.batch_size = batch_size
+        self.image_height = image_height
+        self.image_width = image_width
+        self.num_rays = batch_size * image_height * image_width
+
+        self.ray_chunks = min(ray_chunks, self.num_rays)
+        if self.ray_chunks != ray_chunks:
+            logging.info(
+                "ray_chunks > num_rays; clamped to %d", self.num_rays)
+        assert self.num_rays % self.ray_chunks == 0, (
+            f"ray_chunks {self.ray_chunks} must be a divisor of the number "
+            f"of rays {self.num_rays}")
+        self.sequential_chunks = self.num_rays // self.ray_chunks
+        logging.info("num_rays=%d sequential_chunks=%d",
+                     self.num_rays, self.sequential_chunks)
+
+        self.optimizer = engine.make_optimizer(optimizer, learning_rate)
+        self.mesh = mesh
+        self._eval_key = jax.random.PRNGKey(seed + 1)
+
+        if self.state is None:
+            state = engine.init_train_state(
+                jax.random.PRNGKey(seed), self.config, self.optimizer)
+            if self.model_path is not None:
+                logging.info("Loading NeRF weights from %s", self.model_path)
+                state = checkpoint.load_train_state(self.model_path, state)
+            self.state = state
+
+        donate = (0,) if is_training else ()
+        train_fn = partial(engine.train_step, optimizer=self.optimizer,
+                           config=self.config, ray_chunks=self.ray_chunks)
+        eval_fn = partial(engine.eval_step, config=self.config,
+                          ray_chunks=self.ray_chunks)
+        render_fn = partial(engine.render_image_batch, config=self.config,
+                            ray_chunks=self.ray_chunks)
+
+        if mesh is not None:
+            from keras_nerf_tpu.parallel import shard_batch_fns
+            train_fn, eval_fn, render_fn = shard_batch_fns(
+                mesh, train_fn, eval_fn, render_fn)
+        self._train_step = jax.jit(train_fn, donate_argnums=donate)
+        self._eval_step = jax.jit(eval_fn)
+        self._render = jax.jit(render_fn)
+
+        self.metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
+        self.val_metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
+        self._compiled = True
+        self._step_counter = 0
+        self._root_key = jax.random.PRNGKey(seed + 2)
+
+    def _require_compiled(self):
+        if not self._compiled:
+            raise RuntimeError("call compile() first")
+
+    def _next_key(self) -> jax.Array:
+        self._step_counter += 1
+        return jax.random.fold_in(self._root_key, self._step_counter)
+
+    # ------------------------------------------------------------------ steps
+
+    def train_step(self, batch, key=None) -> dict[str, float]:
+        """One gradient step; returns the six metrics (`nerf.py:332-473`)."""
+        self._require_compiled()
+        self.state, metrics = self._train_step(
+            self.state, batch, key if key is not None else self._next_key())
+        out = {k: float(v) for k, v in metrics.items()}
+        for k, v in out.items():
+            self.metrics[k].update(v)
+        return out
+
+    def test_step(self, batch, key=None) -> dict[str, float]:
+        """Full chunked inference + metrics (`nerf.py:475-497`)."""
+        self._require_compiled()
+        metrics = self._eval_step(
+            self.state, batch, key if key is not None else self._eval_key)
+        out = {k: float(v) for k, v in metrics.items()}
+        for k, v in out.items():
+            self.val_metrics[k].update(v)
+        return out
+
+    def predict_and_render_images(self, rays, key=None) -> tuple[dict, dict]:
+        """Render full images: ``(coarse, fine)`` dicts of image/depth/weights
+        (`nerf.py:229-304`)."""
+        self._require_compiled()
+        out_c, out_f = self._render(
+            self.state.coarse_params, self.state.fine_params, rays,
+            key if key is not None else self._eval_key)
+        return out_c, out_f
+
+    # -------------------------------------------------------------------- fit
+
+    def fit(self, train_dataset, validation_data=None, epochs: int = 1,
+            initial_epoch: int = 0, callbacks=(), verbose: bool = True):
+        """Keras-style epoch loop with per-epoch metric means and callbacks.
+
+        Callbacks get ``cb.set_model(self)`` then
+        ``cb.on_epoch_end(epoch, logs)`` with train + ``val_``-prefixed
+        metrics — the contract `NeRFTrainMonitor` expects
+        (`callback.py:113-222`).
+        """
+        self._require_compiled()
+        for cb in callbacks:
+            if hasattr(cb, "set_model"):
+                cb.set_model(self)
+
+        history = []
+        for epoch in range(initial_epoch, epochs):
+            for tracker in (*self.metrics.values(),
+                            *self.val_metrics.values()):
+                tracker.reset()
+
+            for batch_idx, batch in enumerate(train_dataset):
+                step_metrics = self.train_step(batch)
+                for cb in callbacks:
+                    if hasattr(cb, "on_train_batch_end"):
+                        cb.on_train_batch_end(batch_idx, step_metrics)
+
+            if validation_data is not None:
+                for batch in validation_data:
+                    self.test_step(batch)
+
+            logs = {k: t.result() for k, t in self.metrics.items()}
+            logs.update({f"val_{k}": t.result()
+                         for k, t in self.val_metrics.items()})
+            history.append(logs)
+            if verbose:
+                logging.info(
+                    "epoch %d: %s", epoch,
+                    " ".join(f"{k}={v:.4f}" for k, v in logs.items()))
+            for cb in callbacks:
+                if hasattr(cb, "on_epoch_end"):
+                    cb.on_epoch_end(epoch, logs)
+        return history
+
+    # ----------------------------------------------------------- persistence
+
+    def save_model(self, path: str, weights_only: bool = False):
+        """Config JSON + per-model weights (+ optimizer) (`nerf.py:45-64`)."""
+        if self.state is None:
+            raise RuntimeError("no state to save; compile() first")
+        checkpoint.save_model(path, self.state, self.config,
+                              weights_only=weights_only)
+
+    def load_model(self, path: str):
+        """Restore config + weights from a checkpoint directory
+        (`nerf.py:66-76`)."""
+        self.config = checkpoint.load_model_config(path)
+        self.model_path = path
+        if self.state is not None:
+            self.state = checkpoint.load_train_state(path, self.state)

@@ -1,0 +1,126 @@
+import os
+
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.data import DatasetLoader, write_synthetic_scene
+from keras_nerf_tpu.models import NeRF
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    out = tmp_path_factory.mktemp("scene")
+    return write_synthetic_scene(
+        str(out), image_wh=16, n_train=4, n_val=2, n_test=2)
+
+
+@pytest.fixture(scope="module")
+def datasets(scene):
+    return DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+
+
+def small_nerf():
+    return NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                n_layers=2, dense_units=16, skip_layer=1)
+
+
+def test_compile_clamps_ray_chunks(datasets):
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=10_000)
+    assert model.ray_chunks == 2 * 16 * 16
+    assert model.sequential_chunks == 1
+
+
+def test_compile_asserts_divisibility():
+    model = small_nerf()
+    with pytest.raises(AssertionError):
+        model.compile(batch_size=1, image_height=16, image_width=16,
+                      ray_chunks=100)
+
+
+def test_fit_and_metrics(datasets):
+    train, val, _ = datasets
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=128, learning_rate=5e-3)
+    history = model.fit(train, validation_data=val, epochs=3, verbose=False)
+    assert len(history) == 3
+    for k in ["coarse_loss", "fine_loss", "val_coarse_loss", "val_fine_loss",
+              "coarse_psnr", "fine_ssim", "val_fine_psnr"]:
+        assert k in history[0]
+        assert np.isfinite(history[-1][k])
+    # Training reduces loss on this easy scene.
+    assert history[-1]["fine_loss"] < history[0]["fine_loss"]
+
+
+def test_predict_and_render_images(datasets):
+    train, _, _ = datasets
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=128)
+    _, rays = next(iter(train))
+    out_c, out_f = model.predict_and_render_images(rays)
+    assert out_c["image"].shape == (2, 16, 16, 3)
+    assert out_f["depth"].shape == (2, 16, 16)
+    img = np.asarray(out_f["image"])
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_save_load_round_trip(tmp_path, datasets):
+    train, _, _ = datasets
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=128)
+    batch = next(iter(train))
+    model.train_step(batch)
+    path = str(tmp_path / "ckpt")
+    model.save_model(path)
+    assert os.path.exists(os.path.join(path, "model_config.json"))
+    assert os.path.exists(os.path.join(path, "coarse.msgpack"))
+    assert os.path.exists(os.path.join(path, "fine.msgpack"))
+    assert os.path.exists(os.path.join(path, "optimizer.msgpack"))
+
+    # Reload into a fresh model purely from model_path (inference ctor path).
+    model2 = NeRF(model_path=path)
+    assert model2.config.n_coarse == 8
+    model2.compile(batch_size=2, image_height=16, image_width=16,
+                   ray_chunks=128, is_training=False)
+    _, rays = batch
+    a = np.asarray(model.predict_and_render_images(rays)[1]["image"])
+    b = np.asarray(model2.predict_and_render_images(rays)[1]["image"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_resume_restores_optimizer_state(tmp_path, datasets):
+    train, _, _ = datasets
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=128)
+    batch = next(iter(train))
+    for _ in range(3):
+        model.train_step(batch)
+    path = str(tmp_path / "ckpt")
+    model.save_model(path)
+
+    model2 = NeRF(model_path=path)
+    model2.compile(batch_size=2, image_height=16, image_width=16,
+                   ray_chunks=128)
+    assert int(model2.state.step) == 3
+    # Adam moments restored (non-zero after 3 steps).
+    import jax
+    mu_leaves = jax.tree.leaves(model2.state.coarse_opt)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in mu_leaves
+               if hasattr(l, "shape") and getattr(l, "size", 0) > 1)
+
+
+def test_weights_only_save(tmp_path, datasets):
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=128)
+    path = str(tmp_path / "w_only")
+    model.save_model(path, weights_only=True)
+    assert not os.path.exists(os.path.join(path, "model_config.json"))
+    assert os.path.exists(os.path.join(path, "coarse.msgpack"))

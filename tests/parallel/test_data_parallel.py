@@ -1,0 +1,152 @@
+"""Multi-device data-parallel tests on the 8-fake-device CPU mesh
+(SURVEY.md §4 test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.models import engine
+from keras_nerf_tpu.models.engine import NeRFConfig
+from keras_nerf_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    sharded_eval_step,
+    sharded_render,
+    sharded_train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (fake) devices")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return NeRFConfig(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                      n_layers=2, dense_units=16, skip_layer=1)
+
+
+def make_batch(b, h, w, n_coarse, seed=0):
+    key = jax.random.PRNGKey(seed)
+    images = jax.random.uniform(key, (b, h, w, 4))
+    origin = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jax.random.normal(jax.random.PRNGKey(seed + 1), (b, h, w, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(seed + 2), (b, h, w, n_coarse),
+        minval=2.0, maxval=6.0), axis=-1)
+    return images, (origin, d, t)
+
+
+def test_sharded_train_step_runs_and_replicates(cfg):
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    state = replicate(state, mesh)
+    batch = shard_batch(make_batch(8, 8, 8, cfg.n_coarse), mesh)
+
+    step = jax.jit(sharded_train_step(mesh, opt, cfg, ray_chunks=32))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    # Params identical across devices (replicated output).
+    k = np.asarray(new_state.coarse_params["trunk"][0]["kernel"])
+    assert np.isfinite(k).all()
+
+
+def test_dp_matches_single_device_coarse_grads(cfg):
+    """DP over 8 devices must equal single-device math on the same global
+    batch (coarse path; fine sampling RNG differs by device folding)."""
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("sgd", 0.1)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = make_batch(8, 8, 8, cfg.n_coarse)
+    key = jax.random.PRNGKey(5)
+
+    # Single device, whole global batch.
+    _, m_single = engine.train_step(
+        state, batch, key, optimizer=opt, config=cfg, ray_chunks=64)
+
+    step = jax.jit(sharded_train_step(mesh, opt, cfg, ray_chunks=64))
+    _, m_dp = step(replicate(state, mesh), shard_batch(batch, mesh), key)
+
+    # Coarse loss is RNG-free: global mean of per-device chunk-mean losses
+    # equals the single-device chunk-mean (chunks align with shards here).
+    np.testing.assert_allclose(float(m_dp["coarse_loss"]),
+                               float(m_single["coarse_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_dp["coarse_psnr"]),
+                               float(m_single["coarse_psnr"]), rtol=1e-4)
+
+
+def test_dp_param_update_is_global_mean(cfg):
+    """With lr>0 and sgd, the DP update direction must equal the mean of
+    per-shard coarse gradients == single-device gradient (coarse params)."""
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("sgd", 0.5)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = make_batch(8, 8, 8, cfg.n_coarse, seed=9)
+    key = jax.random.PRNGKey(11)
+
+    s_single, _ = engine.train_step(
+        state, batch, key, optimizer=opt, config=cfg, ray_chunks=64)
+    step = jax.jit(sharded_train_step(mesh, opt, cfg, ray_chunks=64))
+    s_dp, _ = step(replicate(state, mesh), shard_batch(batch, mesh), key)
+
+    a = np.asarray(s_single.coarse_params["trunk"][0]["kernel"])
+    b = np.asarray(s_dp.coarse_params["trunk"][0]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_sharded_eval_step(cfg):
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = replicate(
+        engine.init_train_state(jax.random.PRNGKey(0), cfg, opt), mesh)
+    batch = shard_batch(make_batch(8, 8, 8, cfg.n_coarse), mesh)
+    ev = jax.jit(sharded_eval_step(mesh, cfg, ray_chunks=64))
+    metrics = ev(state, batch, jax.random.PRNGKey(0))
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+
+
+def test_sharded_render_band_split(cfg):
+    """Height-band sharded rendering works for batch 1 and matches the
+    single-device render (coarse image: fine RNG differs per band)."""
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    images, rays = make_batch(1, 16, 8, cfg.n_coarse)
+
+    render = jax.jit(sharded_render(mesh, cfg, ray_chunks=16))
+    out_c, out_f = render(
+        replicate(state.coarse_params, mesh),
+        replicate(state.fine_params, mesh),
+        jax.tree.map(lambda x: x, rays), jax.random.PRNGKey(0))
+    assert out_c["image"].shape == (1, 16, 8, 3)
+    assert out_f["image"].shape == (1, 16, 8, 3)
+
+    ref_c, _ = engine.render_image_batch(
+        state.coarse_params, state.fine_params, rays,
+        jax.random.PRNGKey(0), cfg, ray_chunks=16)
+    np.testing.assert_allclose(np.asarray(out_c["image"]),
+                               np.asarray(ref_c["image"]), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_nerf_class_with_mesh(cfg):
+    """NeRF.compile(mesh=...) end-to-end on the fake mesh."""
+    from keras_nerf_tpu.models import NeRF
+    from keras_nerf_tpu.parallel import DATA_AXIS
+
+    mesh = make_mesh(8)
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=8, image_height=8, image_width=8,
+                  ray_chunks=64, mesh=mesh)
+    batch = make_batch(8, 8, 8, 8)
+    metrics = model.train_step(batch)
+    assert np.isfinite(metrics["fine_loss"])
+    metrics = model.test_step(batch)
+    assert np.isfinite(metrics["fine_psnr"])

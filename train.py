@@ -1,0 +1,81 @@
+"""Multi-device (data-parallel) training CLI.
+
+Rebuild of the reference `train.py` (`/root/reference/train.py:13-166`): the
+``tf.distribute.MirroredStrategy`` + tf.data auto-sharding stack becomes a
+``jax.sharding.Mesh`` + shard_map data-parallel train step with psum'd
+gradients over the TPU ICI (see ``keras_nerf_tpu/parallel/``). Flag surface
+and semantics are preserved: ``global_batch = batch_size * num_devices``
+(`train.py:84`), ``--ray_chunks`` is per-device, resume from the monitor
+checkpoint, final save to ``{model_dirs}/{name}``.
+
+``--num_gpus`` is kept for CLI compatibility; like the reference (where it is
+parsed but unused, `train.py:44` / SURVEY.md §7 quirks) the device count
+comes from the runtime — here it CAN be used to restrict the mesh.
+"""
+
+import argparse
+import logging
+
+from train_single import run_training
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    # NeRF Dataset Directory
+    parser.add_argument('--name', type=str, default='lego',
+                        help='Name of the nerf model')
+    parser.add_argument('--data_dir', type=str,
+                        default='data/nerf_synthetic/lego')
+
+    # NeRF Model Parameters
+    parser.add_argument('--num_coarse_samples', type=int, default=64)
+    parser.add_argument('--num_fine_samples', type=int, default=128)
+    parser.add_argument('--pos_emb_xyz', type=int, default=10)
+    parser.add_argument('--pos_emb_dir', type=int, default=4)
+    parser.add_argument('--num_layers', type=int, default=8)
+    parser.add_argument('--num_units', type=int, default=256)
+    parser.add_argument('--skip_layer', type=int, default=4)
+
+    # NeRF Dataset Parameters
+    parser.add_argument('--img_wh', type=int, default=512)
+    parser.add_argument('--near', type=float, default=2.0)
+    parser.add_argument('--far', type=float, default=6.0)
+    parser.add_argument('--white_bg', action='store_true')
+
+    # NeRF Training Parameters
+    parser.add_argument('--num_epochs', type=int, default=250)
+    parser.add_argument('--batch_size', type=int, default=1,
+                        help='PER-DEVICE batch size; global batch is '
+                             'batch_size * num_devices')
+    parser.add_argument('--num_gpus', type=int, default=0,
+                        help='restrict the mesh to the first N devices '
+                             '(0 = all devices)')
+    parser.add_argument('--ray_chunks', type=int, default=1024)
+    parser.add_argument('--learning_rate', type=float, default=1e-3)
+    parser.add_argument('--optimizer', type=str, default='adam')
+    parser.add_argument('--mixed_precision', action='store_true')
+
+    # NeRF Logging Parameters
+    parser.add_argument('--model_dirs', type=str, default='model')
+    parser.add_argument('--log_dir', type=str, default='logs')
+    parser.add_argument('--log_freq', type=int, default=5)
+    parser.add_argument('--verbose', action='store_true')
+    args = parser.parse_args()
+    args.eagerly = False  # multi-device path is always jitted
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format='%(asctime)s | %(name)s | %(levelname)s | %(message)s')
+
+    import jax
+
+    from keras_nerf_tpu.parallel import make_mesh
+
+    n = args.num_gpus if args.num_gpus > 0 else len(jax.devices())
+    mesh = make_mesh(n)
+    logging.info('Devices: %s', mesh.devices.ravel().tolist())
+    run_training(args, mesh=mesh)
+
+
+if __name__ == '__main__':
+    main()

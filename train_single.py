@@ -1,0 +1,156 @@
+"""Single-device training CLI.
+
+Rebuild of the reference `train_single.py` (flags, defaults, seed, resume and
+save semantics — `/root/reference/train_single.py:13-152`) on the JAX engine.
+On TPU this is the 1-chip path of the same jitted train step used by the
+multi-device `train.py`.
+
+Performance notes (TPU v5e-1, replacing the reference's V100 numbers at
+`train_single.py:16-20`): the whole 128x128 batch fits comfortably at
+--ray_chunks 16384 (one fused pass); chunking remains available as a memory
+knob for 512x512+.
+"""
+
+import argparse
+import logging
+import os
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    # NeRF Dataset Directory
+    parser.add_argument('--name', type=str, default='lego',
+                        help='Name of the nerf model')
+    parser.add_argument('--data_dir', type=str,
+                        default='data/nerf_synthetic/lego')
+
+    # NeRF Model Parameters
+    parser.add_argument('--num_coarse_samples', type=int, default=64)
+    parser.add_argument('--num_fine_samples', type=int, default=128)
+    parser.add_argument('--pos_emb_xyz', type=int, default=10)
+    parser.add_argument('--pos_emb_dir', type=int, default=4)
+    parser.add_argument('--num_layers', type=int, default=8)
+    parser.add_argument('--num_units', type=int, default=256)
+    parser.add_argument('--skip_layer', type=int, default=4)
+
+    # NeRF Dataset Parameters
+    parser.add_argument('--img_wh', type=int, default=128)
+    parser.add_argument('--near', type=float, default=2.0)
+    parser.add_argument('--far', type=float, default=6.0)
+    parser.add_argument('--white_bg', action='store_true')
+
+    # NeRF Training Parameters
+    parser.add_argument('--num_epochs', type=int, default=250)
+    parser.add_argument('--batch_size', type=int, default=1)
+    parser.add_argument('--ray_chunks', type=int, default=2048)
+    parser.add_argument('--eagerly', action='store_true',
+                        help='disable jit (debug mode)')
+    parser.add_argument('--learning_rate', type=float, default=1e-3)
+    parser.add_argument('--optimizer', type=str, default='adam')
+    parser.add_argument('--mixed_precision', action='store_true',
+                        help='bfloat16 MLP compute (TPU MXU fast path)')
+
+    # NeRF Logging Parameters
+    parser.add_argument('--model_dirs', type=str, default='model')
+    parser.add_argument('--log_dir', type=str, default='logs')
+    parser.add_argument('--log_freq', type=int, default=1)
+    parser.add_argument('--verbose', action='store_true')
+    return parser
+
+
+def run_training(args, mesh=None):
+    """Shared train flow for train_single.py (mesh=None) and train.py."""
+    import jax
+
+    from keras_nerf_tpu.data import DatasetLoader
+    from keras_nerf_tpu.models import NeRF
+    from keras_nerf_tpu.utils.monitor import NeRFTrainMonitor
+
+    logging.info(args)
+    if args.eagerly:
+        jax.config.update("jax_disable_jit", True)
+        logging.info("Running eagerly (jit disabled)")
+
+    n_devices = 1 if mesh is None else mesh.devices.size
+    global_batch_size = args.batch_size * n_devices
+    if mesh is not None:
+        logging.info("Mesh: %d devices; global batch %d",
+                     n_devices, global_batch_size)
+
+    dataset_loader = DatasetLoader(args.data_dir, args.white_bg)
+    train_dataset, val_dataset, test_dataset = dataset_loader.load_dataset(
+        batch_size=global_batch_size,
+        image_width=args.img_wh,
+        image_height=args.img_wh,
+        near=args.near,
+        far=args.far,
+        n_sample=args.num_coarse_samples,
+    )
+
+    # Resume from the last monitor checkpoint if present (the working
+    # variant of the reference's two checks — `train_single.py:90-96`).
+    model_log_dir = os.path.join(args.log_dir, args.name, 'model')
+    from keras_nerf_tpu.utils import checkpoint as ckpt
+    model_path = model_log_dir if ckpt.has_weights(model_log_dir) else None
+    if model_path:
+        logging.info('Continuing training from %s', model_path)
+
+    compute_dtype = 'bfloat16' if args.mixed_precision else 'float32'
+    nerf = NeRF(
+        n_coarse=args.num_coarse_samples,
+        n_fine=args.num_fine_samples,
+        pos_emb_xyz=args.pos_emb_xyz,
+        pos_emb_dir=args.pos_emb_dir,
+        n_layers=args.num_layers,
+        dense_units=args.num_units,
+        skip_layer=args.skip_layer,
+        model_path=model_path,
+        compute_dtype=compute_dtype,
+    )
+
+    nerf_monitor = NeRFTrainMonitor(
+        dataset=test_dataset,
+        log_dir=os.path.join(args.log_dir, args.name),
+        batch_size=global_batch_size,
+        update_freq=args.log_freq,
+        verbose=args.verbose,
+    )
+
+    nerf.compile(
+        optimizer=args.optimizer,
+        loss='mse',
+        batch_size=global_batch_size,
+        image_height=args.img_wh,
+        image_width=args.img_wh,
+        ray_chunks=args.ray_chunks,
+        white_background=args.white_bg,
+        learning_rate=args.learning_rate,
+        mesh=mesh,
+    )
+
+    nerf.fit(
+        train_dataset,
+        validation_data=val_dataset,
+        epochs=args.num_epochs,
+        initial_epoch=nerf_monitor.last_epoch,
+        callbacks=[nerf_monitor],
+    )
+
+    save_path = os.path.join(args.model_dirs, args.name)
+    os.makedirs(save_path, exist_ok=True)
+    nerf.save_model(save_path)
+    logging.info('Saved final model to %s', save_path)
+    return nerf
+
+
+def main():
+    args = build_arg_parser().parse_args()
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s | %(name)s | %(levelname)s | %(message)s "
+               "(%(filename)s:%(lineno)d)")
+    run_training(args, mesh=None)
+
+
+if __name__ == '__main__':
+    main()
