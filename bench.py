@@ -1,0 +1,147 @@
+"""Benchmark: coarse+fine training throughput in rays/sec/chip.
+
+Headline workload = the reference's benchmark config (`train_single.py:16-17`
+in /root/reference: 128x128 image, batch 1, coarse 64 + fine 128 samples,
+full 8x256 MLPs — ~3 s/step on a V100, i.e. ~5,461 rays/s). Same math here,
+TPU-native: one jitted train step, bfloat16 MXU matmuls, whole-batch fused
+pass (ray chunking is a memory knob; the reference clamps chunks to num_rays
+when memory allows, `nerf.py:95-98`).
+
+Prints ONE JSON line:
+  {"metric": "train rays/sec/chip (coarse+fine)", "value": N,
+   "unit": "rays/s", "vs_baseline": N}
+
+vs_baseline is against the V100 figure (16384 rays / 3 s = 5461 rays/s).
+
+Extra modes (not part of the driver contract):
+  python bench.py --mode render --img_wh 256   # novel-view fps
+  python bench.py --fp32                        # disable bf16 compute
+"""
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_PER_SEC = 16384 / 3.0  # V100, reference train_single.py:17
+BASELINE_RENDER_FPS = 20.0           # north-star render target
+
+
+def make_batch(b, h, w, n_coarse, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    images = jax.random.uniform(k1, (b, h, w, 4))
+    origin = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jax.random.normal(k2, (b, h, w, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        k3, (b, h, w, n_coarse), minval=2.0, maxval=6.0), axis=-1)
+    return images, (origin, d, t)
+
+
+def bench_train(args):
+    from keras_nerf_tpu.models import engine
+    from keras_nerf_tpu.models.engine import NeRFConfig
+
+    config = NeRFConfig(
+        n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
+        white_background=True,
+        compute_dtype="float32" if args.fp32 else "bfloat16")
+    optimizer = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), config, optimizer)
+    batch = make_batch(args.batch_size, args.img_wh, args.img_wh,
+                       config.n_coarse, jax.random.PRNGKey(1))
+    num_rays = args.batch_size * args.img_wh * args.img_wh
+    ray_chunks = min(args.ray_chunks or num_rays, num_rays)
+
+    step = jax.jit(
+        lambda s, b, k: engine.train_step(
+            s, b, k, optimizer=optimizer, config=config,
+            ray_chunks=ray_chunks),
+        donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(2)
+    for i in range(args.warmup):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    # NOTE: a host scalar fetch is the sync point — block_until_ready does
+    # not reliably block on the remote-TPU (axon) backend.
+    float(metrics["fine_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
+    float(metrics["fine_loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = num_rays * args.iters / dt
+    return {
+        "metric": "train rays/sec/chip (coarse+fine)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+    }
+
+
+def bench_render(args):
+    from keras_nerf_tpu.models import engine
+    from keras_nerf_tpu.models.engine import NeRFConfig
+
+    config = NeRFConfig(
+        n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
+        white_background=True,
+        compute_dtype="float32" if args.fp32 else "bfloat16")
+    coarse, fine = engine.init_params(jax.random.PRNGKey(0), config)
+    _, rays = make_batch(1, args.img_wh, args.img_wh, config.n_coarse,
+                         jax.random.PRNGKey(1))
+    num_rays = args.img_wh * args.img_wh
+    ray_chunks = min(args.ray_chunks or num_rays, num_rays)
+
+    render = jax.jit(
+        lambda pc, pf, r, k: engine.render_image_batch(
+            pc, pf, r, k, config, ray_chunks)[1]["image"])
+
+    key = jax.random.PRNGKey(2)
+    for i in range(args.warmup):
+        out = render(coarse, fine, rays, jax.random.fold_in(key, i))
+    float(out[0, 0, 0, 0])
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = render(coarse, fine, rays, jax.random.fold_in(key, 100 + i))
+    float(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+
+    fps = args.iters / dt
+    return {
+        "metric": f"render {args.img_wh}x{args.img_wh} frames/sec/chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_RENDER_FPS, 2),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["train", "render"],
+                        default="train")
+    parser.add_argument("--img_wh", type=int, default=128)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--num_coarse_samples", type=int, default=64)
+    parser.add_argument("--num_fine_samples", type=int, default=128)
+    parser.add_argument("--ray_chunks", type=int, default=0,
+                        help="0 = whole batch in one fused pass")
+    parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    result = bench_train(args) if args.mode == "train" else bench_render(args)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,9 @@ def main():
     parser.add_argument('--eagerly', action='store_true')
     parser.add_argument('--white_bg', action='store_true')
     parser.add_argument('--mixed_precision', action='store_true')
+    parser.add_argument('--use_pallas', action='store_true',
+                        help='render through the fused Pallas ray-march '
+                             'kernel (experimental)')
 
     # View Parameters
     parser.add_argument('--phi', type=float, default=-30.0)
@@ -79,6 +82,7 @@ def main():
         ray_chunks=args.ray_chunks,
         white_background=args.white_bg,
         is_training=False,
+        use_pallas=args.use_pallas,
     )
 
     focal = get_focal_from_fov(args.fov, args.img_wh)

@@ -1,0 +1,13 @@
+"""Pallas TPU kernels: the fused ray-march MLP."""
+
+from keras_nerf_tpu.kernels.ray_march import (
+    fused_apply_mlp,
+    fused_render_chunk,
+    pack_mlp_params,
+)
+
+__all__ = [
+    "fused_apply_mlp",
+    "fused_render_chunk",
+    "pack_mlp_params",
+]

@@ -68,6 +68,8 @@ class NeRFConfig:
     skip_layer: int = 4
     white_background: bool = False
     compute_dtype: str = "float32"
+    # Opt-in fused Pallas MLP on no-gradient paths (see kernels/ray_march.py).
+    use_pallas: bool = False
 
     @property
     def mlp(self) -> MLPConfig:
@@ -256,6 +258,69 @@ def render_image_batch(
         out_c, out_f = render_chunk_pair(
             coarse_params, fine_params, oc, dc, tc, k, config)
         return None, (out_c, out_f)
+
+    _, (out_c, out_f) = jax.lax.scan(body, None, xs)
+
+    def unchunk(out: RenderOutput) -> dict:
+        s = out.weights.shape[-1]
+        return {
+            "image": out.image.reshape(b, h, w, 3),
+            "depth": out.depth.reshape(b, h, w),
+            "weights": out.weights.reshape(b, h, w, s),
+        }
+
+    return unchunk(out_c), unchunk(out_f)
+
+
+def render_chunk_pair_fused(
+    packed_coarse: dict,
+    packed_fine: dict,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    coarse_points: jnp.ndarray,
+    key: jax.Array,
+    config: NeRFConfig,
+) -> tuple[RenderOutput, RenderOutput]:
+    """Coarse+fine chunk render through the fused Pallas MLP kernel.
+
+    Same math as :func:`render_chunk_pair` on the no-gradient path; consumes
+    packed kernel params (:func:`keras_nerf_tpu.kernels.pack_mlp_params`).
+    """
+    from keras_nerf_tpu.kernels import fused_render_chunk
+
+    out_c = fused_render_chunk(
+        packed_coarse, origin, direction, coarse_points, config)
+    mids = midpoints(coarse_points)
+    fine_points = sample_pdf(key, mids, out_c.weights, config.n_fine)
+    points = jnp.sort(
+        jnp.concatenate([coarse_points, fine_points], axis=-1), axis=-1)
+    out_f = fused_render_chunk(packed_fine, origin, direction, points, config)
+    return out_c, out_f
+
+
+def render_image_batch_fused(
+    packed_coarse: dict,
+    packed_fine: dict,
+    rays,
+    key: jax.Array,
+    config: NeRFConfig,
+    ray_chunks: int,
+) -> tuple[dict, dict]:
+    """Fused-kernel variant of :func:`render_image_batch`."""
+    b, h, w = rays[0].shape[:3]
+    num_rays = b * h * w
+    ray_chunks = min(ray_chunks, num_rays)
+    assert num_rays % ray_chunks == 0
+    num_chunks = num_rays // ray_chunks
+
+    o, d, t = _flatten_rays(rays, num_rays, config.n_coarse)
+    xs = (_chunked(o, num_chunks), _chunked(d, num_chunks),
+          _chunked(t, num_chunks), jax.random.split(key, num_chunks))
+
+    def body(_, x):
+        oc, dc, tc, k = x
+        return None, render_chunk_pair_fused(
+            packed_coarse, packed_fine, oc, dc, tc, k, config)
 
     _, (out_c, out_f) = jax.lax.scan(body, None, xs)
 

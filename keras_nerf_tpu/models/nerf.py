@@ -80,7 +80,7 @@ class NeRF:
                 image_height: int = 128, image_width: int = 128,
                 ray_chunks: int = 1024, white_background: bool = False,
                 is_training: bool = True, learning_rate: float = 1e-3,
-                seed: int = 42, mesh=None, **_):
+                seed: int = 42, mesh=None, use_pallas: bool = False, **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
         Mirrors `nerf.py:78-114`: clamps ``ray_chunks`` to ``num_rays``,
@@ -93,7 +93,8 @@ class NeRF:
         self.config = NeRFConfig(
             **{**self.config.to_model_config(),
                "white_background": white_background,
-               "compute_dtype": self.config.compute_dtype})
+               "compute_dtype": self.config.compute_dtype,
+               "use_pallas": use_pallas})
         self.batch_size = batch_size
         self.image_height = image_height
         self.image_width = image_width
@@ -136,6 +137,24 @@ class NeRF:
                 mesh, train_fn, eval_fn, render_fn)
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
         self._eval_step = jax.jit(eval_fn)
+        if use_pallas:
+            # Fused-kernel render path: pack the current weights once (the
+            # kernel is forward-only, used by predict_and_render_images).
+            from keras_nerf_tpu.kernels import pack_mlp_params
+            cfg = self.config
+            self._packed = (
+                pack_mlp_params(self.state.coarse_params, cfg.mlp,
+                                cfg.pos_emb_xyz, cfg.pos_emb_dir),
+                pack_mlp_params(self.state.fine_params, cfg.mlp,
+                                cfg.pos_emb_xyz, cfg.pos_emb_dir),
+            )
+
+            def render_fused(pc, pf, rays, key):
+                del pc, pf  # kernel consumes the packed copies
+                return engine.render_image_batch_fused(
+                    self._packed[0], self._packed[1], rays, key,
+                    cfg, self.ray_chunks)
+            render_fn = render_fused
         self._render = jax.jit(render_fn)
 
         self.metrics = {n: MeanTracker() for n in self.METRIC_NAMES}

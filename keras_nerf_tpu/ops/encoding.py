@@ -51,6 +51,48 @@ def encoded_dim(d: int, num_freqs: int) -> int:
     return d * (1 + 2 * num_freqs)
 
 
+def positional_encoding_block(
+    x: jnp.ndarray, num_freqs: int, pad_to: int | None = None
+) -> jnp.ndarray:
+    """TPU-layout variant: ``[x, sin-block, cos-block]`` instead of the
+    reference's per-frequency interleave.
+
+    Produces the same feature SET as :func:`positional_encoding` in a
+    different order — ``out[..., i] == positional_encoding(x)[..., block_permutation(D, L)[i]]``
+    — but avoids the interleaving relayout (measured ~1.5x faster on VPU) and
+    is the representation the fused Pallas ray-march kernel consumes (its
+    packed first-layer weights are row-permuted to match). Optionally
+    zero-pads the feature axis to ``pad_to`` for lane alignment.
+    """
+    dtype = x.dtype
+    if num_freqs == 0:
+        out = x
+    else:
+        freqs = (2.0 ** jnp.arange(num_freqs, dtype=dtype))
+        scaled = (x[..., None, :] * freqs[:, None]).reshape(
+            *x.shape[:-1], num_freqs * x.shape[-1])
+        out = jnp.concatenate([x, jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
+    if pad_to is not None and out.shape[-1] < pad_to:
+        pad = jnp.zeros((*out.shape[:-1], pad_to - out.shape[-1]), dtype)
+        out = jnp.concatenate([out, pad], axis=-1)
+    return out
+
+
+def block_permutation(d: int, num_freqs: int) -> "list[int]":
+    """Index map from block order to reference order.
+
+    ``enc_block[..., i] == enc_ref[..., perm[i]]`` — used to permute the rows
+    of reference-ordered first-layer weights when packing them for the fused
+    kernel (and to realign parity tests).
+    """
+    perm = list(range(d))  # raw coords first in both orders
+    for trig in (0, 1):  # sin block then cos block
+        for l in range(num_freqs):
+            for i in range(d):
+                perm.append(d + l * 2 * d + trig * d + i)
+    return perm
+
+
 def encode_position_and_directions(
     ray_origin: jnp.ndarray,
     ray_direction: jnp.ndarray,

@@ -103,27 +103,43 @@ def invert_cdf(
     lands in the last two bins (silently zero on TF-GPU, an error on TF-CPU).
     We clamp to the valid midpoint range, so tail draws resolve to the last
     midpoint instead of collapsing toward the origin.
+
+    TPU implementation: instead of ``searchsorted`` indices followed by four
+    ``take_along_axis`` gathers (serial, VPU-hostile — measured 3.3x slower),
+    every gathered value is produced by a masked reduction over the same
+    ``[..., N, S+1]`` comparison tensor the search itself needs:
+
+    * ``cdf[below]``  = max of cdf entries <= u       (below = last True),
+    * ``cdf[above]``  = min of cdf entries  > u       (above = first False),
+    * ``mids[...]``   = same reductions over edge-padded midpoints.
+
+    Outputs are bit-identical to the gather formulation (covered by
+    ``tests/ops/test_sampling.py::test_invert_cdf_matches_gather_reference``).
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
-    indices = batched_searchsorted_right(cdf, u)
-    below = jnp.maximum(0, indices - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, indices)
+    le = cdf[..., None, :] <= u[..., :, None]  # [..., N, S+1]
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    # mid_points has one fewer entry than cdf; the reference gathers with the
-    # same (unclamped-above) indices into mid_points, relying on
-    # above <= S-1 <= len(mid_points)-1 only when indices < S. Clamp to the
-    # valid range of mid_points explicitly.
-    m_last = mid_points.shape[-1] - 1
-    bins_below = jnp.take_along_axis(
-        mid_points, jnp.minimum(below, m_last), axis=-1)
-    bins_above = jnp.take_along_axis(
-        mid_points, jnp.minimum(above, m_last), axis=-1)
+    cdf_below = jnp.max(jnp.where(le, cdf[..., None, :], -jnp.inf), axis=-1)
+    cdf_above = jnp.min(jnp.where(le, jnp.inf, cdf[..., None, :]), axis=-1)
+    # u >= cdf[-1] (never for u < 1, but guard): above clamps to the end.
+    cdf_above = jnp.where(jnp.isinf(cdf_above), cdf[..., -1][..., None],
+                          cdf_above)
+
+    # Edge-pad midpoints to S+1 entries so below/above (clamped to the
+    # midpoint range) resolve through the same masks.
+    pad = cdf.shape[-1] - mid_points.shape[-1]
+    mids_pad = jnp.concatenate(
+        [mid_points] + [mid_points[..., -1:]] * pad, axis=-1)
+    bins_below = jnp.max(
+        jnp.where(le, mids_pad[..., None, :], -jnp.inf), axis=-1)
+    bins_above = jnp.min(
+        jnp.where(le, jnp.inf, mids_pad[..., None, :]), axis=-1)
+    bins_above = jnp.where(jnp.isinf(bins_above),
+                           mids_pad[..., -1][..., None], bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -1,0 +1,125 @@
+"""Fused Pallas ray-march kernel equivalence tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.kernels import fused_render_chunk, pack_mlp_params
+from keras_nerf_tpu.models import engine
+from keras_nerf_tpu.models.engine import NeRFConfig
+from keras_nerf_tpu.ops.encoding import (
+    block_permutation,
+    positional_encoding,
+    positional_encoding_block,
+)
+
+
+def test_block_permutation_definition():
+    x = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+    for L in [1, 4, 10]:
+        ref = np.asarray(positional_encoding(jnp.asarray(x), L))
+        blk = np.asarray(positional_encoding_block(jnp.asarray(x), L))
+        perm = block_permutation(3, L)
+        np.testing.assert_allclose(blk, ref[..., perm], rtol=1e-6)
+
+
+def test_block_padding():
+    x = jnp.ones((4, 3))
+    out = positional_encoding_block(x, 10, pad_to=64)
+    assert out.shape == (4, 64)
+    np.testing.assert_allclose(np.asarray(out[:, 63]), 0.0)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return NeRFConfig(n_coarse=8, n_fine=0, pos_emb_xyz=10, pos_emb_dir=4,
+                      n_layers=8, dense_units=256, skip_layer=4)
+
+
+@pytest.fixture(scope="module")
+def chunk(cfg):
+    key = jax.random.PRNGKey(0)
+    r = 64
+    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
+    d = jax.random.normal(key, (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(1), (r, cfg.n_coarse), minval=2.0, maxval=6.0),
+        axis=-1)
+    return o, d, t
+
+
+def test_fused_matches_xla_path(cfg, chunk):
+    """The fused kernel must compute the same function as the XLA bf16 path
+    (rounding differences only)."""
+    params, _ = engine.init_params(jax.random.PRNGKey(2), cfg)
+    packed = pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz,
+                             cfg.pos_emb_dir)
+    o, d, t = chunk
+
+    fused = fused_render_chunk(packed, o, d, t, cfg, tile=512,
+                               interpret=True)
+
+    bf16_cfg = NeRFConfig(**{**cfg.to_model_config()},
+                          compute_dtype="bfloat16")
+    ref, _ = engine.render_chunk(params, o, d, t, jax.random.PRNGKey(0),
+                                 bf16_cfg)
+    np.testing.assert_allclose(np.asarray(fused.image), np.asarray(ref.image),
+                               atol=0.03)
+    np.testing.assert_allclose(np.asarray(fused.depth), np.asarray(ref.depth),
+                               atol=0.05)
+    # And close to the fp32 path too (bf16 rounding budget).
+    ref32, _ = engine.render_chunk(params, o, d, t, jax.random.PRNGKey(0),
+                                   cfg)
+    np.testing.assert_allclose(np.asarray(fused.image),
+                               np.asarray(ref32.image), atol=0.05)
+
+
+def test_fused_non_tile_multiple(cfg, chunk):
+    """P not a multiple of the tile: internal padding must not change
+    results."""
+    params, _ = engine.init_params(jax.random.PRNGKey(2), cfg)
+    packed = pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz,
+                             cfg.pos_emb_dir)
+    o, d, t = chunk
+    big = fused_render_chunk(packed, o, d, t, cfg, tile=512, interpret=True)
+    odd = fused_render_chunk(packed, o[:37], d[:37], t[:37], cfg, tile=512,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(odd.image),
+                               np.asarray(big.image[:37]), atol=1e-5)
+
+
+def test_nerf_use_pallas_render(cfg):
+    """NeRF.compile(use_pallas=True) renders through the fused kernel and
+    stays close to the default path."""
+    from keras_nerf_tpu.models import NeRF
+
+    def build(use_pallas):
+        m = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=10, pos_emb_dir=4,
+                 n_layers=2, dense_units=256, skip_layer=1)
+        m.compile(batch_size=1, image_height=8, image_width=8,
+                  ray_chunks=64, is_training=False, use_pallas=use_pallas)
+        return m
+
+    key = jax.random.PRNGKey(0)
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (1, 8, 8, 1))
+    d = jax.random.normal(key, (1, 8, 8, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 8, 8, 8), minval=2.0, maxval=6.0), -1)
+    rays = (o, d, t)
+
+    fused = build(True).predict_and_render_images(rays, key)
+    plain = build(False).predict_and_render_images(rays, key)
+    # The fused path computes in bf16, the plain model in fp32 — random
+    # (untrained) weights amplify the rounding, so the budget is loose.
+    np.testing.assert_allclose(np.asarray(fused[1]["image"]),
+                               np.asarray(plain[1]["image"]), atol=0.1)
+
+
+def test_pack_rejects_unaligned_width():
+    cfg = NeRFConfig(dense_units=100)
+    params, _ = engine.init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+        pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)

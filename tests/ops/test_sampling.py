@@ -95,6 +95,42 @@ def test_sample_pdf_deterministic_under_key():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_invert_cdf_matches_gather_reference():
+    """The mask-reduce implementation must be bit-equivalent to the original
+    searchsorted+gather formulation (the reference's math, with clamping)."""
+    from keras_nerf_tpu.ops import invert_cdf
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        n_bins = [8, 64, 33][trial]
+        mids = np.sort(rng.uniform(2, 6, size=(64, n_bins)), -1).astype(
+            np.float32)
+        weights = rng.uniform(size=(64, n_bins + 1)).astype(np.float32)
+        u = rng.uniform(size=(64, 32)).astype(np.float32)
+
+        w = weights + 1e-5
+        pdf = w / w.sum(-1, keepdims=True)
+        cdf = np.cumsum(pdf, -1)
+        cdf = np.concatenate([np.zeros_like(cdf[..., :1]), cdf], -1)
+        idx = np.stack([np.searchsorted(cdf[i], u[i], side="right")
+                        for i in range(64)])
+        below = np.maximum(0, idx - 1)
+        above = np.minimum(cdf.shape[-1] - 1, idx)
+        take = np.take_along_axis
+        cb, ca = take(cdf, below, -1), take(cdf, above, -1)
+        ml = mids.shape[-1] - 1
+        mb = take(mids, np.minimum(below, ml), -1)
+        ma = take(mids, np.minimum(above, ml), -1)
+        den = np.where(ca - cb < 1e-5, 1.0, ca - cb)
+        t = (u - cb) / den
+        want = mb + t * (ma - mb)
+
+        got = np.asarray(invert_cdf(
+            jnp.asarray(u), jnp.asarray(mids), jnp.asarray(weights)))
+        # atol covers XLA-vs-numpy cumsum association differences.
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_sample_pdf_jits():
     f = jax.jit(lambda k, m, w: sample_pdf(k, m, w, 8))
     out = f(jax.random.PRNGKey(0),

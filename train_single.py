@@ -49,6 +49,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument('--optimizer', type=str, default='adam')
     parser.add_argument('--mixed_precision', action='store_true',
                         help='bfloat16 MLP compute (TPU MXU fast path)')
+    parser.add_argument('--debug_nans', action='store_true',
+                        help='raise on any NaN (the jax equivalent of the '
+                             'reference per-gradient assert_all_finite, '
+                             'nerf.py:380-382)')
+    parser.add_argument('--profile_dir', type=str, default='',
+                        help='write a jax.profiler trace for the first '
+                             'training epoch to this directory')
 
     # NeRF Logging Parameters
     parser.add_argument('--model_dirs', type=str, default='model')
@@ -70,6 +77,13 @@ def run_training(args, mesh=None):
     if args.eagerly:
         jax.config.update("jax_disable_jit", True)
         logging.info("Running eagerly (jit disabled)")
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+        logging.info("debug_nans enabled: any NaN raises immediately")
+    if getattr(args, "profile_dir", ""):
+        jax.profiler.start_trace(args.profile_dir)
+        logging.info("Profiling to %s (stops after the first epoch)",
+                     args.profile_dir)
 
     n_devices = 1 if mesh is None else mesh.devices.size
     global_batch_size = args.batch_size * n_devices
@@ -128,12 +142,24 @@ def run_training(args, mesh=None):
         mesh=mesh,
     )
 
+    callbacks = [nerf_monitor]
+    if getattr(args, "profile_dir", ""):
+        class _StopProfiler:
+            done = False
+
+            def on_epoch_end(self, epoch, logs):
+                if not self.done:
+                    jax.profiler.stop_trace()
+                    self.done = True
+                    logging.info("Profiler trace written")
+        callbacks.append(_StopProfiler())
+
     nerf.fit(
         train_dataset,
         validation_data=val_dataset,
         epochs=args.num_epochs,
         initial_epoch=nerf_monitor.last_epoch,
-        callbacks=[nerf_monitor],
+        callbacks=callbacks,
     )
 
     save_path = os.path.join(args.model_dirs, args.name)
