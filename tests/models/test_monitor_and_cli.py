@@ -1,0 +1,153 @@
+"""Monitor callback + CLI end-to-end tests (hermetic, CPU).
+
+The reference left its callback and CLIs untested (SURVEY.md §4); these run
+the real `run_training` flow in-process on the synthetic scene.
+"""
+
+import csv
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.data import DatasetLoader, write_synthetic_scene
+from keras_nerf_tpu.models import NeRF
+from keras_nerf_tpu.utils.monitor import NeRFTrainMonitor
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    out = tmp_path_factory.mktemp("scene")
+    return write_synthetic_scene(
+        str(out), image_wh=16, n_train=4, n_val=2, n_test=2)
+
+
+def test_monitor_full_cycle(tmp_path, scene):
+    train, val, test = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+    log_dir = str(tmp_path / "logs")
+
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=512)
+    monitor = NeRFTrainMonitor(dataset=test, log_dir=log_dir, batch_size=2,
+                               update_freq=1)
+    model.fit(train, validation_data=val, epochs=2, callbacks=[monitor],
+              verbose=False)
+
+    # CSV rows with the expected schema.
+    with open(os.path.join(log_dir, "log.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert {"epoch", "coarse_loss", "fine_loss", "val_coarse_loss",
+            "val_fine_loss"} <= set(rows[0])
+
+    # Panels + periodic checkpoint.
+    assert os.path.exists(os.path.join(log_dir, "test_0_0.png"))
+    assert os.path.exists(os.path.join(log_dir, "test_sample_0_1.png"))
+    assert os.path.exists(os.path.join(log_dir, "model", "coarse.msgpack"))
+    assert os.path.exists(os.path.join(log_dir, "model",
+                                       "model_config.json"))
+
+    # Resume: a fresh monitor picks up last_epoch and history.
+    monitor2 = NeRFTrainMonitor(dataset=test, log_dir=log_dir, batch_size=2,
+                                update_freq=1)
+    assert monitor2.last_epoch == 2
+    assert len(monitor2.coarse_log_list) == 2
+
+
+def test_monitor_update_freq(tmp_path, scene):
+    _, _, test = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+    log_dir = str(tmp_path / "logs2")
+    monitor = NeRFTrainMonitor(dataset=test, log_dir=log_dir, batch_size=2,
+                               update_freq=5)
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=512)
+    monitor.set_model(model)
+    logs = {k: 0.1 for k in
+            ["coarse_loss", "coarse_psnr", "coarse_ssim", "fine_loss",
+             "fine_psnr", "fine_ssim"]}
+    logs.update({f"val_{k}": v for k, v in list(logs.items())})
+    monitor.on_epoch_end(1, logs)  # 1 % 5 != 0 -> no render, no csv
+    assert not os.path.exists(os.path.join(log_dir, "log.csv"))
+    monitor.on_epoch_end(5, logs)
+    assert os.path.exists(os.path.join(log_dir, "test_0_5.png"))
+
+
+def test_train_single_cli_end_to_end(tmp_path, scene):
+    """Run the real CLI flow in-process: train 2 epochs, resume, save."""
+    sys.path.insert(0, REPO)
+    from train_single import build_arg_parser, run_training
+
+    args = build_arg_parser().parse_args([
+        "--name", "t", "--data_dir", scene, "--img_wh", "16",
+        "--num_coarse_samples", "8", "--num_fine_samples", "8",
+        "--num_layers", "2", "--num_units", "16", "--skip_layer", "1",
+        "--num_epochs", "2", "--batch_size", "2", "--ray_chunks", "512",
+        "--white_bg",
+        "--log_dir", str(tmp_path / "logs"),
+        "--model_dirs", str(tmp_path / "models"),
+    ])
+    nerf = run_training(args)
+    assert os.path.exists(
+        str(tmp_path / "models" / "t" / "model_config.json"))
+    assert int(nerf.state.step) == 4  # 2 epochs x 2 batches
+
+    # Resume run: continues from epoch 2 without retraining 0-1.
+    args2 = build_arg_parser().parse_args([
+        "--name", "t", "--data_dir", scene, "--img_wh", "16",
+        "--num_coarse_samples", "8", "--num_fine_samples", "8",
+        "--num_layers", "2", "--num_units", "16", "--skip_layer", "1",
+        "--num_epochs", "3", "--batch_size", "2", "--ray_chunks", "512",
+        "--white_bg",
+        "--log_dir", str(tmp_path / "logs"),
+        "--model_dirs", str(tmp_path / "models"),
+    ])
+    nerf2 = run_training(args2)
+    # 2 prior steps restored + 1 more epoch x 2 batches.
+    assert int(nerf2.state.step) == 6
+
+
+def test_inference_cli_end_to_end(tmp_path, scene):
+    """Train briefly then drive the real inference CLI main()."""
+    sys.path.insert(0, REPO)
+    import inference as inference_cli
+    from train_single import build_arg_parser, run_training
+
+    args = build_arg_parser().parse_args([
+        "--name", "inf", "--data_dir", scene, "--img_wh", "16",
+        "--num_coarse_samples", "8", "--num_fine_samples", "8",
+        "--num_layers", "2", "--num_units", "16", "--skip_layer", "1",
+        "--num_epochs", "1", "--batch_size", "2", "--ray_chunks", "512",
+        "--log_dir", str(tmp_path / "logs"),
+        "--model_dirs", str(tmp_path / "models"),
+    ])
+    run_training(args)
+
+    out_dir = str(tmp_path / "out")
+    argv = ["inference.py", "--model_dirs",
+            str(tmp_path / "models" / "inf"),
+            "--name", "orbit", "--img_wh", "16", "--ray_chunks", "256",
+            "--output_freq", "120", "--output_dir", out_dir]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        inference_cli.main()
+    finally:
+        sys.argv = old
+
+    gif = os.path.join(out_dir, "orbit.gif")
+    assert os.path.exists(gif)
+    import imageio.v2 as imageio
+    frames = imageio.mimread(gif)
+    assert len(frames) == 3  # 360 / 120
+    assert np.asarray(frames[0]).shape[:2] == (16, 16)
