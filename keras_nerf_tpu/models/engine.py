@@ -46,7 +46,11 @@ from keras_nerf_tpu.ops.encoding import encode_position_and_directions, encoded_
 from keras_nerf_tpu.ops.metrics import psnr as psnr_fn
 from keras_nerf_tpu.ops.metrics import ssim as ssim_fn
 from keras_nerf_tpu.ops.rendering import RenderOutput, render_rays
-from keras_nerf_tpu.ops.sampling import midpoints, sample_pdf
+from keras_nerf_tpu.ops.sampling import (
+    merge_sorted,
+    midpoints,
+    sample_pdf_sorted,
+)
 
 Params = dict[str, Any]
 
@@ -179,11 +183,14 @@ def render_chunk(
     the depths actually used.
     """
     if coarse_weights is not None:
+        # Sorted-uniform draws + rank merge instead of the reference's
+        # unsorted draws + full sort of the concatenation (`nerf.py:190-191`)
+        # — identical sampling distribution, no 192-wide sort network on the
+        # hot path (ops/sampling.py: sample_pdf_sorted / merge_sorted).
         mids = midpoints(coarse_points)
-        fine_points = sample_pdf(
+        fine_points = sample_pdf_sorted(
             key, mids, jax.lax.stop_gradient(coarse_weights), config.n_fine)
-        points = jnp.sort(
-            jnp.concatenate([coarse_points, fine_points], axis=-1), axis=-1)
+        points = merge_sorted(coarse_points, fine_points)
     else:
         points = coarse_points
 
@@ -291,9 +298,8 @@ def render_chunk_pair_fused(
     out_c = fused_render_chunk(
         packed_coarse, origin, direction, coarse_points, config)
     mids = midpoints(coarse_points)
-    fine_points = sample_pdf(key, mids, out_c.weights, config.n_fine)
-    points = jnp.sort(
-        jnp.concatenate([coarse_points, fine_points], axis=-1), axis=-1)
+    fine_points = sample_pdf_sorted(key, mids, out_c.weights, config.n_fine)
+    points = merge_sorted(coarse_points, fine_points)
     out_f = fused_render_chunk(packed_fine, origin, direction, points, config)
     return out_c, out_f
 

@@ -10,8 +10,10 @@ from keras_nerf_tpu.ops.rendering import RenderOutput, exclusive_cumprod, render
 from keras_nerf_tpu.ops.sampling import (
     batched_searchsorted_right,
     invert_cdf,
+    merge_sorted,
     midpoints,
     sample_pdf,
+    sample_pdf_sorted,
     stratified_sample_points,
 )
 
@@ -22,12 +24,14 @@ __all__ = [
     "encoded_dim",
     "exclusive_cumprod",
     "invert_cdf",
+    "merge_sorted",
     "midpoints",
     "mse",
     "positional_encoding",
     "psnr",
     "render_rays",
     "sample_pdf",
+    "sample_pdf_sorted",
     "ssim",
     "stratified_sample_points",
 ]

@@ -147,6 +147,58 @@ def invert_cdf(
     return bins_below + t * (bins_above - bins_below)
 
 
+def sample_pdf_sorted(
+    key: jax.Array,
+    mid_points: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+) -> jnp.ndarray:
+    """:func:`sample_pdf` with SORTED uniform draws.
+
+    Draws ``u`` as uniform order statistics via the exponential-spacings
+    construction (``u_i = S_i / S_{n+1}`` for ``S`` the cumsum of iid Exp(1))
+    — exactly the distribution of sorting ``n`` iid uniforms, but produced
+    already ascending. CDF inversion is monotone, so the returned depths are
+    sorted, which lets the caller MERGE them with the (sorted) coarse depths
+    instead of running a full bitonic sort over the concatenation
+    (:func:`merge_sorted` — measured much cheaper on the TPU VPU than
+    ``jnp.sort``). Same sampling distribution as the reference
+    (`keras_nerf/model/nerf/utils.py:72-73` draws unsorted uniforms and
+    sorts after the merge, `nerf.py:190-191`).
+    """
+    exp = jax.random.exponential(
+        key, (*mid_points.shape[:-1], n_samples + 1), dtype=mid_points.dtype)
+    s = jnp.cumsum(exp, axis=-1)
+    u = s[..., :-1] / s[..., -1:]
+    return invert_cdf(u, mid_points, weights)
+
+
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-ray SORTED arrays ``a [..., M]``, ``b [..., N]`` into a
+    sorted ``[..., M+N]`` array.
+
+    Rank-based, gather/scatter-free: each element's output slot is its own
+    index plus the count of elements of the other array ahead of it; the
+    output is assembled by masked reductions against an index iota — all
+    VPU-friendly broadcast compares, no sort network.
+    """
+    m, n = a.shape[-1], b.shape[-1]
+    # rank_a[i] = i + #{j : b[j] < a[i]};  rank_b[j] = j + #{i : a[i] <= b[j]}
+    lt = (b[..., None, :] < a[..., :, None])          # [..., M, N]
+    rank_a = jnp.arange(m) + jnp.sum(lt.astype(jnp.int32), axis=-1)
+    le = (a[..., None, :] <= b[..., :, None])         # [..., N, M]
+    rank_b = jnp.arange(n) + jnp.sum(le.astype(jnp.int32), axis=-1)
+
+    slots = jnp.arange(m + n)
+    out_a = jnp.sum(
+        jnp.where(rank_a[..., :, None] == slots, a[..., :, None], 0.0),
+        axis=-2)
+    out_b = jnp.sum(
+        jnp.where(rank_b[..., :, None] == slots, b[..., :, None], 0.0),
+        axis=-2)
+    return out_a + out_b
+
+
 def midpoints(sample_points: jnp.ndarray) -> jnp.ndarray:
     """``0.5 * (t[..., 1:] + t[..., :-1])`` — the fine-sampling bin centers.
 

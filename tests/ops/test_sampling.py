@@ -131,6 +131,46 @@ def test_invert_cdf_matches_gather_reference():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_merge_sorted_equals_sort_of_concat():
+    from keras_nerf_tpu.ops import merge_sorted
+
+    rng = np.random.default_rng(0)
+    a = np.sort(rng.uniform(2, 6, size=(32, 16)), -1).astype(np.float32)
+    b = np.sort(rng.uniform(2, 6, size=(32, 24)), -1).astype(np.float32)
+    got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], -1), -1)
+    np.testing.assert_allclose(got, want)
+
+
+def test_merge_sorted_with_ties():
+    from keras_nerf_tpu.ops import merge_sorted
+
+    a = jnp.asarray([[1.0, 2.0, 2.0, 3.0]])
+    b = jnp.asarray([[2.0, 2.0, 4.0]])
+    got = np.asarray(merge_sorted(a, b))
+    np.testing.assert_allclose(got, [[1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 4.0]])
+
+
+def test_sample_pdf_sorted_is_sorted_and_same_distribution():
+    from keras_nerf_tpu.ops import sample_pdf_sorted
+
+    key = jax.random.PRNGKey(0)
+    mids = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 63), (512, 63))
+    weights = np.full((512, 64), 1e-4, dtype=np.float32)
+    weights[:, 30] = 100.0
+    samples = np.asarray(
+        sample_pdf_sorted(key, mids, jnp.asarray(weights), 64))
+    assert (np.diff(samples, axis=-1) >= 0).all()
+    # Same concentration behavior as the unsorted variant.
+    heavy_center = 2.0 + 4.0 * 30 / 62
+    assert np.mean(np.abs(samples - heavy_center) < 0.15) > 0.9
+    # Uniform weights -> mean near the middle (order statistics are still
+    # marginally uniform).
+    uni = np.asarray(sample_pdf_sorted(
+        jax.random.PRNGKey(1), mids, jnp.ones((512, 64)), 64))
+    assert abs(uni.mean() - 4.0) < 0.1
+
+
 def test_sample_pdf_jits():
     f = jax.jit(lambda k, m, w: sample_pdf(k, m, w, 8))
     out = f(jax.random.PRNGKey(0),
