@@ -194,9 +194,25 @@ def render_chunk(
     else:
         points = coarse_points
 
-    enc_xyz, enc_dir = encode_position_and_directions(
-        origin, direction, points, config.pos_emb_xyz, config.pos_emb_dir)
-    rgb, sigma = apply_mlp(params, enc_xyz, enc_dir, config.mlp, config.dtype)
+    if config.use_pallas:
+        # Fused Pallas PE+MLP (forward and backward kernels; custom_vjp —
+        # kernels/ray_march.py). Positions/directions are data here, matching
+        # the kernel's zero input-cotangent contract.
+        from keras_nerf_tpu.kernels import fused_point_forward
+
+        positions = (origin[..., None, :]
+                     + direction[..., None, :] * points[..., None])
+        dirs = jnp.broadcast_to(direction[..., None, :], positions.shape)
+        rgb, sigma = fused_point_forward(
+            params, positions.reshape(-1, 3), dirs.reshape(-1, 3),
+            config.mlp, config.pos_emb_xyz, config.pos_emb_dir)
+        rgb = rgb.reshape(*points.shape, 3)
+        sigma = sigma.reshape(*points.shape, 1)
+    else:
+        enc_xyz, enc_dir = encode_position_and_directions(
+            origin, direction, points, config.pos_emb_xyz, config.pos_emb_dir)
+        rgb, sigma = apply_mlp(
+            params, enc_xyz, enc_dir, config.mlp, config.dtype)
     out = render_rays(rgb, sigma, points,
                       white_background=config.white_background)
     return out, points
@@ -265,68 +281,6 @@ def render_image_batch(
         out_c, out_f = render_chunk_pair(
             coarse_params, fine_params, oc, dc, tc, k, config)
         return None, (out_c, out_f)
-
-    _, (out_c, out_f) = jax.lax.scan(body, None, xs)
-
-    def unchunk(out: RenderOutput) -> dict:
-        s = out.weights.shape[-1]
-        return {
-            "image": out.image.reshape(b, h, w, 3),
-            "depth": out.depth.reshape(b, h, w),
-            "weights": out.weights.reshape(b, h, w, s),
-        }
-
-    return unchunk(out_c), unchunk(out_f)
-
-
-def render_chunk_pair_fused(
-    packed_coarse: dict,
-    packed_fine: dict,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
-    coarse_points: jnp.ndarray,
-    key: jax.Array,
-    config: NeRFConfig,
-) -> tuple[RenderOutput, RenderOutput]:
-    """Coarse+fine chunk render through the fused Pallas MLP kernel.
-
-    Same math as :func:`render_chunk_pair` on the no-gradient path; consumes
-    packed kernel params (:func:`keras_nerf_tpu.kernels.pack_mlp_params`).
-    """
-    from keras_nerf_tpu.kernels import fused_render_chunk
-
-    out_c = fused_render_chunk(
-        packed_coarse, origin, direction, coarse_points, config)
-    mids = midpoints(coarse_points)
-    fine_points = sample_pdf_sorted(key, mids, out_c.weights, config.n_fine)
-    points = merge_sorted(coarse_points, fine_points)
-    out_f = fused_render_chunk(packed_fine, origin, direction, points, config)
-    return out_c, out_f
-
-
-def render_image_batch_fused(
-    packed_coarse: dict,
-    packed_fine: dict,
-    rays,
-    key: jax.Array,
-    config: NeRFConfig,
-    ray_chunks: int,
-) -> tuple[dict, dict]:
-    """Fused-kernel variant of :func:`render_image_batch`."""
-    b, h, w = rays[0].shape[:3]
-    num_rays = b * h * w
-    ray_chunks = min(ray_chunks, num_rays)
-    assert num_rays % ray_chunks == 0
-    num_chunks = num_rays // ray_chunks
-
-    o, d, t = _flatten_rays(rays, num_rays, config.n_coarse)
-    xs = (_chunked(o, num_chunks), _chunked(d, num_chunks),
-          _chunked(t, num_chunks), jax.random.split(key, num_chunks))
-
-    def body(_, x):
-        oc, dc, tc, k = x
-        return None, render_chunk_pair_fused(
-            packed_coarse, packed_fine, oc, dc, tc, k, config)
 
     _, (out_c, out_f) = jax.lax.scan(body, None, xs)
 

@@ -137,24 +137,6 @@ class NeRF:
                 mesh, train_fn, eval_fn, render_fn)
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
         self._eval_step = jax.jit(eval_fn)
-        if use_pallas:
-            # Fused-kernel render path: pack the current weights once (the
-            # kernel is forward-only, used by predict_and_render_images).
-            from keras_nerf_tpu.kernels import pack_mlp_params
-            cfg = self.config
-            self._packed = (
-                pack_mlp_params(self.state.coarse_params, cfg.mlp,
-                                cfg.pos_emb_xyz, cfg.pos_emb_dir),
-                pack_mlp_params(self.state.fine_params, cfg.mlp,
-                                cfg.pos_emb_xyz, cfg.pos_emb_dir),
-            )
-
-            def render_fused(pc, pf, rays, key):
-                del pc, pf  # kernel consumes the packed copies
-                return engine.render_image_batch_fused(
-                    self._packed[0], self._packed[1], rays, key,
-                    cfg, self.ray_chunks)
-            render_fn = render_fused
         self._render = jax.jit(render_fn)
 
         self.metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
