@@ -395,6 +395,12 @@ def train_step(
         img_c_chunks.reshape(b, h, w, 3),
         img_f_chunks.reshape(b, h, w, 3),
         images[..., :3], loss_c, loss_f)
+    # Gradient-health diagnostics: the reference asserts per-chunk gradient
+    # finiteness and counts all-zero gradients in eager mode
+    # (`nerf.py:380-382,429-451`); a global grad norm covers both (0 => all
+    # zero, nan/inf => non-finite) without a debug-only code path.
+    metrics["coarse_grad_norm"] = optax.global_norm(grads_c)
+    metrics["fine_grad_norm"] = optax.global_norm(grads_f)
     if axis_name is not None:
         metrics = jax.lax.pmean(metrics, axis_name)
     return new_state, metrics

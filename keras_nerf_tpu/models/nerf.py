@@ -162,7 +162,15 @@ class NeRF:
             self.state, batch, key if key is not None else self._next_key())
         out = {k: float(v) for k, v in metrics.items()}
         for k, v in out.items():
-            self.metrics[k].update(v)
+            if k in self.metrics:
+                self.metrics[k].update(v)
+        # Zero/non-finite gradient diagnostics (the reference's eager-mode
+        # zero-grad counters and assert_all_finite, `nerf.py:380-382,429-451`).
+        for name in ("coarse_grad_norm", "fine_grad_norm"):
+            g = out.get(name)
+            if g is not None and (g == 0.0 or not np.isfinite(g)):
+                logging.warning("%s = %s at step %d", name, g,
+                                self._step_counter)
         return out
 
     def test_step(self, batch, key=None) -> dict[str, float]:

@@ -131,6 +131,34 @@ def test_eval_step_metrics(cfg, state, toy_batch):
         assert np.isfinite(float(metrics[name])), name
 
 
+def test_train_step_reports_grad_norms(cfg, toy_batch):
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    _, metrics = engine.train_step(
+        state, toy_batch, jax.random.PRNGKey(0), optimizer=opt, config=cfg,
+        ray_chunks=32)
+    assert float(metrics["coarse_grad_norm"]) > 0
+    assert float(metrics["fine_grad_norm"]) > 0
+
+
+def test_coarse_only_n_fine_zero(toy_batch):
+    """--num_fine_samples 0 (BASELINE config #1, coarse-only): the fine model
+    still evaluates on the coarse depths (reference semantics: hierarchical
+    sampling of zero points, sort of the unchanged coarse set)."""
+    cfg0 = NeRFConfig(n_coarse=8, n_fine=0, pos_emb_xyz=4, pos_emb_dir=2,
+                      n_layers=3, dense_units=32, skip_layer=2)
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg0, opt)
+    state, metrics = engine.train_step(
+        state, toy_batch, jax.random.PRNGKey(0), optimizer=opt, config=cfg0,
+        ray_chunks=32)
+    assert np.isfinite(float(metrics["fine_loss"]))
+    out_c, out_f = engine.render_image_batch(
+        state.coarse_params, state.fine_params, toy_batch[1],
+        jax.random.PRNGKey(0), cfg0, ray_chunks=32)
+    assert out_f["weights"].shape[-1] == 8  # coarse depths only
+
+
 def test_make_optimizer_strings():
     import optax
     opt = engine.make_optimizer("adam")
