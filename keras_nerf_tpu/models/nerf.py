@@ -192,6 +192,16 @@ class NeRF:
             key if key is not None else self._eval_key)
         return out_c, out_f
 
+    def evaluate(self, dataset, key=None) -> dict[str, float]:
+        """Run test_step over a dataset; returns mean metrics (the Keras
+        ``evaluate`` equivalent over the engine's `nerf.py:475-497` path)."""
+        self._require_compiled()
+        for tracker in self.val_metrics.values():
+            tracker.reset()
+        for batch in dataset:
+            self.test_step(batch, key)
+        return {k: t.result() for k, t in self.val_metrics.items()}
+
     # -------------------------------------------------------------------- fit
 
     def fit(self, train_dataset, validation_data=None, epochs: int = 1,

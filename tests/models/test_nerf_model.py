@@ -69,6 +69,16 @@ def test_predict_and_render_images(datasets):
     assert img.min() >= 0.0 and img.max() <= 1.0
 
 
+def test_evaluate(datasets):
+    _, _, test = datasets
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=128)
+    metrics = model.evaluate(test)
+    for k in ["coarse_loss", "fine_psnr", "fine_ssim"]:
+        assert np.isfinite(metrics[k])
+
+
 def test_save_load_round_trip(tmp_path, datasets):
     train, _, _ = datasets
     model = small_nerf()
