@@ -33,14 +33,8 @@ BASELINE_RENDER_FPS = 20.0           # north-star render target
 
 
 def make_batch(b, h, w, n_coarse, key):
-    k1, k2, k3 = jax.random.split(key, 3)
-    images = jax.random.uniform(k1, (b, h, w, 4))
-    origin = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
-    d = jax.random.normal(k2, (b, h, w, 3))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    t = jnp.sort(jax.random.uniform(
-        k3, (b, h, w, n_coarse), minval=2.0, maxval=6.0), axis=-1)
-    return images, (origin, d, t)
+    from keras_nerf_tpu.data.synthetic import random_ray_batch
+    return random_ray_batch(b, h, w, n_coarse, key)
 
 
 def bench_train(args):
@@ -136,9 +130,12 @@ def main():
                         help="per-pass ray chunk (0 = whole batch in one "
                              "fused pass; needs ~32 GB HBM at 128^2 train)")
     parser.add_argument("--fp32", action="store_true")
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--warmup", type=int, default=3,
+                        help="warmup steps (min 1: the warmup result is the "
+                             "pre-timing sync point)")
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args()
+    args.warmup = max(1, args.warmup)
 
     result = bench_train(args) if args.mode == "train" else bench_render(args)
     print(json.dumps(result))

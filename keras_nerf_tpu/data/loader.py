@@ -112,6 +112,16 @@ class NeRFDataset:
                 rays = tuple(jax.device_put(r, self.sharding) for r in rays)
             yield images, rays
 
+    def rebatch(self, batch_size: int) -> "NeRFDataset":
+        """A view over the same images/poses with a different batch size
+        (used by monitors when the split is smaller than the global batch)."""
+        ds = NeRFDataset(
+            self.images, np.asarray(self.poses),
+            focal=self.focal, near=self.near, far=self.far,
+            n_samples=self.n_samples, batch_size=batch_size,
+            shuffle=self.shuffle, sharding=self.sharding)
+        return ds
+
     def take(self, count: int) -> list[Batch]:
         """First ``count`` batches (tf.data ``take`` equivalent for monitors)."""
         out = []

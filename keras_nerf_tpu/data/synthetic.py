@@ -82,6 +82,28 @@ def render_pose(c2w: np.ndarray, image_wh: int) -> np.ndarray:
     return _trace(origin, direction)
 
 
+def random_ray_batch(batch: int, height: int, width: int, n_coarse: int,
+                     key, near: float = 2.0, far: float = 6.0):
+    """A random (images, (origin, direction, points)) training batch.
+
+    Shared by bench.py, the driver entry points, and tests — one place for
+    the 'random pixels + fixed origin + unit directions + sorted depths'
+    contract.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    images = jax.random.uniform(k1, (batch, height, width, 4))
+    origin = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (batch, height, width, 1))
+    d = jax.random.normal(k2, (batch, height, width, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        k3, (batch, height, width, n_coarse), minval=near, maxval=far),
+        axis=-1)
+    return images, (origin, d, t)
+
+
 def write_synthetic_scene(
     out_dir: str,
     image_wh: int = 64,

@@ -501,9 +501,6 @@ def _mlp_bwd_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref,
             d_h = dX(d_pre, trunk_w[i][...])
 
 
-_G_EXPAND = None
-
-
 def _g_expand_matrix() -> jnp.ndarray:
     """[8, 128] selection matrix: lanes 0..3 of the small cotangent tile map
     to lanes 0..3 of the 128-lane working tile."""

@@ -337,6 +337,9 @@ def train_step(
     images, rays = batch
     b, h, w = images.shape[:3]
     num_rays = b * h * w
+    assert num_rays % ray_chunks == 0 and num_rays >= ray_chunks, (
+        f"ray_chunks {ray_chunks} must divide the rays this step sees "
+        f"({num_rays} — per-DEVICE under shard_map)")
     num_chunks = num_rays // ray_chunks
     target = images[..., :3].reshape(num_rays, 3)
 

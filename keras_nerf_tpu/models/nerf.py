@@ -100,16 +100,27 @@ class NeRF:
         self.image_width = image_width
         self.num_rays = batch_size * image_height * image_width
 
-        self.ray_chunks = min(ray_chunks, self.num_rays)
+        # Under a mesh, the step executes on per-device shards and
+        # --ray_chunks is per-device (`parallel/data_parallel.py`): validate
+        # against the rays each device actually sees.
+        n_devices = 1 if mesh is None else int(mesh.devices.size)
+        if self.num_rays % n_devices != 0:
+            raise ValueError(
+                f"global num_rays {self.num_rays} must divide across "
+                f"{n_devices} mesh devices")
+        per_device_rays = self.num_rays // n_devices
+
+        self.ray_chunks = min(ray_chunks, per_device_rays)
         if self.ray_chunks != ray_chunks:
             logging.info(
-                "ray_chunks > num_rays; clamped to %d", self.num_rays)
-        assert self.num_rays % self.ray_chunks == 0, (
-            f"ray_chunks {self.ray_chunks} must be a divisor of the number "
-            f"of rays {self.num_rays}")
-        self.sequential_chunks = self.num_rays // self.ray_chunks
-        logging.info("num_rays=%d sequential_chunks=%d",
-                     self.num_rays, self.sequential_chunks)
+                "ray_chunks > per-device rays; clamped to %d",
+                per_device_rays)
+        assert per_device_rays % self.ray_chunks == 0, (
+            f"ray_chunks {self.ray_chunks} must be a divisor of the "
+            f"per-device number of rays {per_device_rays}")
+        self.sequential_chunks = per_device_rays // self.ray_chunks
+        logging.info("num_rays=%d per_device_rays=%d sequential_chunks=%d",
+                     self.num_rays, per_device_rays, self.sequential_chunks)
 
         self.optimizer = engine.make_optimizer(optimizer, learning_rate)
         self.mesh = mesh

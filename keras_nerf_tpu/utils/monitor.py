@@ -80,7 +80,21 @@ class NeRFTrainMonitor:
 
         # A fixed batch for the stable visualization panels
         # (`callback.py:53-57`) and a separate iterator for fresh samples.
+        # Splits smaller than the (global) batch size would yield zero
+        # batches under drop_remainder — rebatch the view down so the
+        # monitor always has something to render.
+        if hasattr(self.dataset, "num_examples") and \
+                hasattr(self.dataset, "rebatch") and \
+                self.dataset.num_examples < batch_size:
+            logging.warning(
+                "monitor dataset has %d images < batch_size %d; rebatching",
+                self.dataset.num_examples, batch_size)
+            self.dataset = self.dataset.rebatch(self.dataset.num_examples)
+            self.batch_size = self.dataset.num_examples
+            batch_size = self.batch_size
         batches = self.dataset.take(1)
+        if not batches:
+            raise ValueError("monitor dataset yielded no batches")
         self.images, self.rays = batches[0]
         self.images = np.asarray(self.images)[:batch_size]
         self.rays = tuple(

@@ -61,6 +61,22 @@ def test_monitor_full_cycle(tmp_path, scene):
     assert len(monitor2.coarse_log_list) == 2
 
 
+def test_monitor_rebatches_small_dataset(tmp_path, scene):
+    """Regression: a monitor dataset smaller than the (global) batch size
+    would yield zero batches under drop_remainder; the monitor must rebatch
+    instead of crashing (train.py with many devices hits this)."""
+    _, _, test = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+    assert test.num_examples == 2
+    monitor = NeRFTrainMonitor(
+        dataset=test, log_dir=str(tmp_path / "logs_small"),
+        batch_size=8,  # > 2 available images
+        update_freq=1)
+    assert monitor.batch_size == 2
+    assert monitor.images.shape[0] == 2
+
+
 def test_monitor_update_freq(tmp_path, scene):
     _, _, test = DatasetLoader(scene).load_dataset(
         batch_size=2, image_width=16, image_height=16,

@@ -43,6 +43,34 @@ def test_fit_with_mesh(scene):
     assert np.isfinite(history[-1]["val_fine_psnr"])
 
 
+def test_compile_validates_per_device_ray_chunks(scene):
+    """Regression: ray_chunks is per-device under a mesh; a chunk size that
+    only divides the GLOBAL ray count must be clamped/validated against the
+    per-device shard, not crash at trace time."""
+    mesh = make_mesh(8)
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    # Global rays = 8*8*8 = 512; per-device = 64. ray_chunks=256 divides 512
+    # but exceeds 64 -> must clamp to 64 (one chunk per device).
+    model.compile(batch_size=8, image_height=8, image_width=8,
+                  ray_chunks=256, mesh=mesh)
+    assert model.ray_chunks == 64
+    assert model.sequential_chunks == 1
+    # And it actually runs.
+    from keras_nerf_tpu.data.synthetic import random_ray_batch
+    import jax as _jax
+    batch = random_ray_batch(8, 8, 8, 8, _jax.random.PRNGKey(0))
+    metrics = model.train_step(batch)
+    assert np.isfinite(metrics["fine_loss"])
+
+    # Non-divisor of the per-device count is rejected.
+    model2 = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                  n_layers=2, dense_units=16, skip_layer=1)
+    with pytest.raises(AssertionError):
+        model2.compile(batch_size=8, image_height=8, image_width=8,
+                       ray_chunks=48, mesh=mesh)
+
+
 def test_train_cli_with_mesh(tmp_path, scene, monkeypatch):
     """The real train.py main() on the fake mesh (global batch = 8 x 1)."""
     sys.path.insert(0, REPO)
