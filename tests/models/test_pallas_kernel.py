@@ -169,11 +169,12 @@ def test_train_step_with_use_pallas_learns(cfg):
         jax.random.PRNGKey(3), (b, h, w, 8), minval=2.0, maxval=6.0), -1)
     batch = (images, (o, d, t))
 
+    step = jax.jit(lambda s, b, k: engine.train_step(
+        s, b, k, optimizer=opt, config=pcfg, ray_chunks=64))
     losses = []
     for i in range(15):
-        state, metrics = engine.train_step(
-            state, batch, jax.random.fold_in(jax.random.PRNGKey(4), i),
-            optimizer=opt, config=pcfg, ray_chunks=64)
+        state, metrics = step(
+            state, batch, jax.random.fold_in(jax.random.PRNGKey(4), i))
         losses.append(float(metrics["fine_loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
