@@ -34,11 +34,15 @@ beats XLA on the trunk (3.2 ms vs 5.7 ms trunk-only; 3.7 ms full MLP vs
 6.5 ms for XLA's whole encode+MLP+render), but end-to-end the pallas_call
 boundary costs it back: operand relayout copies + in-kernel PE
 transcendentals give 8.8 ms forward, and the recompute backward makes the
-full train step 259 ms vs XLA's 220 ms (identical losses). XLA's fusion of
-this dense MLP chain is simply strong on TPU. The kernels therefore stay an
-OPT-IN path (`NeRFConfig(use_pallas=True)` / `--use_pallas`), exact in
-interpret mode and within bf16 rounding on hardware; the default compute
-path remains XLA.
+full train step 259 ms vs XLA's 220 ms (identical losses). The fully fused
+v3 ray-march (:func:`fused_ray_march` — quadrature in-kernel, per-ray
+samples never leave VMEM) lands at 9.4 ms: the per-ray scalar chain
+(alpha/transmittance/weights) must either relayout sublane<->lane or pay a
+128x lane-broadcast, and that waste exceeds the saved HBM traffic. XLA's
+fusion of this dense MLP chain is simply strong on TPU at these sizes. The
+kernels therefore stay an OPT-IN path (`NeRFConfig(use_pallas=True)` /
+`--use_pallas`), exact in interpret mode and within bf16 rounding on
+hardware; the default compute path remains XLA.
 
 Reference semantics covered: `keras_nerf/model/nerf/mlp.py:29-50` (the MLP
 this fuses).
@@ -211,22 +215,23 @@ def pack_mlp_params(params, config: MLPConfig, pos_emb_xyz: int,
     }
 
 
-def _mlp_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref, *refs):
-    """Kernel body: in-kernel PE + full trunk + heads over one point tile.
+def _mlp_core(config: MLPConfig, n_trunk: int, pos_ref, dir_ref, weight_refs):
+    """Shared kernel core: in-kernel PE + trunk + heads over one point tile.
 
     Inputs are RAW ``[T, 8]`` float32 xyz / view-dir tiles (3 lanes used) —
     the positional encoding happens in VMEM (selection-matrix broadcast +
     masked sin/cos), so the big ``[P, 64/32]`` encoded tensors never exist in
-    HBM. Lane discipline everywhere else: 128-aligned slices, split matmuls
-    instead of lane concats, and a full 128-lane output tile with rgb in
-    lanes 0..2 and sigma rolled into lane 3 — unaligned small-lane ops were
-    measured to cost more than the whole trunk.
+    HBM. Lane discipline everywhere: 128-aligned slices, split matmuls
+    instead of lane concats — unaligned small-lane ops were measured to cost
+    more than the whole trunk.
+
+    Returns a [T, 128] float32 tile with sigmoid(rgb) in lanes 0..2 and
+    relu(sigma) rolled into lane 3 (other lanes zero).
     """
-    out_ref = refs[-1]
-    trunk_w = refs[:n_trunk]
-    trunk_b = refs[n_trunk:2 * n_trunk]
+    trunk_w = weight_refs[:n_trunk]
+    trunk_b = weight_refs[n_trunk:2 * n_trunk]
     (w_sf, b_sf, w_rf_top, w_rf_dir, b_rf, w_rgb, b_rgb,
-     bx, fx, mx, bd, fd, md) = refs[2 * n_trunk:-1]
+     bx, fx, mx, bd, fd, md) = weight_refs[2 * n_trunk:]
 
     skip = set(config.skip_indices())
     x = _encode_in_kernel(pos_ref[...], bx, fx, mx)
@@ -254,9 +259,15 @@ def _mlp_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref, *refs):
 
     lane = jax.lax.broadcasted_iota(jnp.int32, rgb_pre.shape, 1)
     sigma_in_lane3 = pltpu.roll(sigma_block, 3, axis=1)
-    out_ref[...] = jnp.where(
+    return jnp.where(
         lane < 3, jax.nn.sigmoid(rgb_pre),
         jnp.where(lane == 3, sigma_in_lane3, 0.0))
+
+
+def _mlp_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref, *refs):
+    """Point-forward kernel: writes the [T, 128] rgb/sigma tile."""
+    out_ref = refs[-1]
+    out_ref[...] = _mlp_core(config, n_trunk, pos_ref, dir_ref, refs[:-1])
 
 
 def _default_interpret() -> bool:
@@ -694,3 +705,165 @@ def _fpf_bwd(config, pos_emb_xyz, pos_emb_dir, tile, interpret,
 
 
 fused_point_forward.defvjp(_fpf_fwd, _fpf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v3: full ray-march kernel — PE + MLP + volume quadrature all in VMEM.
+# ---------------------------------------------------------------------------
+
+def _ray_march_kernel(config, n_trunk: int, r_tile: int, s: int,
+                      pos_ref, dir_ref, t_ref, *refs):
+    """Per-ray-tile kernel: the MLP core over the tile's R_TILE*S points,
+    then the whole volume-rendering quadrature without leaving VMEM.
+
+    Layout strategy: the point tile [M=R_TILE*S, 128] is reshaped to
+    [R_TILE, S, 128] (a SUBLANE split — free), so the per-ray sample axis is
+    the middle dimension. Depths arrive as a [M, 8] tile (lane 0) and are
+    broadcast to all 128 lanes with one tiny matmul; sigma (lane 3 of the
+    MLP output) is broadcast across lanes the same way. Quadrature is then
+    pure lane-parallel VPU work: alpha, an exclusive cumprod via
+    log-cumsum-exp along the sample axis, weighted sums.
+
+    Outputs per ray: ``ray_out [R_TILE, 128]`` (lanes 0..2 image, lane 3
+    depth, lane 4 weight-sum) and ``weights [R_TILE, S]``.
+    """
+    out_ray_ref, out_w_ref = refs[-2], refs[-1]
+    ones_sel = refs[-3]   # [8, 128] row 0 = 1: broadcast lane 0 -> all lanes
+    e3_sel = refs[-4]     # [128, 128] row 3 = 1: broadcast lane 3 -> all
+    weight_refs = refs[:-4]
+
+    y = _mlp_core(config.mlp, n_trunk, pos_ref, dir_ref,
+                  weight_refs)  # [M, 128]
+    t128 = jnp.dot(t_ref[...], ones_sel[...],
+                   preferred_element_type=jnp.float32)             # [M, 128]
+
+    y3 = y.reshape(r_tile, s, LANE)
+    t3 = t128.reshape(r_tile, s, LANE)
+
+    eps = 1e-10
+    delta = jnp.concatenate(
+        [t3[:, 1:, :] - t3[:, :-1, :],
+         jnp.full((r_tile, 1, LANE), eps, jnp.float32)], axis=1)
+
+    # sigma (lane 3) broadcast across lanes via batched matmul on lanes.
+    sigma_all = jax.lax.dot_general(
+        y3, e3_sel[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    alpha = 1.0 - jnp.exp(-sigma_all * delta)
+    logu = jnp.log(1.0 - alpha + eps)
+    # Inclusive prefix sum along the sample axis as a Hillis-Steele scan
+    # (log2(S) shifted adds) — Pallas TPU has no cumsum lowering.
+    cum = logu
+    shift = 1
+    while shift < s:
+        pad = jnp.zeros((r_tile, shift, LANE), jnp.float32)
+        cum = cum + jnp.concatenate([pad, cum[:, :-shift, :]], axis=1)
+        shift *= 2
+    trans = jnp.exp(cum - logu)          # exclusive cumprod
+    w = alpha * trans                    # [R_TILE, S, 128]
+
+    image = jnp.sum(w * y3, axis=1)      # lanes 0..2 valid
+    depth = jnp.sum(w * t3, axis=1)      # all lanes equal
+    wsum = jnp.sum(w, axis=1)            # all lanes equal
+
+    if config.white_background:
+        image = image + (1.0 - wsum)
+    image = jnp.clip(image, 0.0, 1.0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, image.shape, 1)
+    out = jnp.where(lane < 3, image,
+                    jnp.where(lane == 3, depth,
+                              jnp.where(lane == 4, wsum, 0.0)))
+    out_ray_ref[...] = out
+    # weights: take lane 0 of w -> [R_TILE, S] (relayout handled by Mosaic).
+    out_w_ref[...] = w[:, :, 0]
+
+
+def fused_ray_march(
+    packed: dict,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    points: jnp.ndarray,
+    config,
+    r_tile: int = 16,
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """v3 fully fused render: PE + MLP + quadrature in one kernel.
+
+    ``origin/direction [R, 3]``, ``points [R, S]`` sorted -> RenderOutput.
+    Per-ray samples never leave VMEM; HBM sees [R*S, 8] inputs and per-ray
+    outputs only.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    r, s = points.shape
+    if r % r_tile:
+        raise ValueError(f"rays {r} must be a multiple of r_tile {r_tile}")
+    m_tile = r_tile * s
+    p = r * s
+
+    positions = (origin[..., None, :]
+                 + direction[..., None, :] * points[..., None])
+    dirs = jnp.broadcast_to(direction[:, None, :], (r, s, 3))
+
+    def pad8(a):
+        a = a.reshape(p, -1).astype(jnp.float32)
+        return jnp.pad(a, ((0, 0), (0, 8 - a.shape[1])))
+
+    pos8 = pad8(positions)
+    dir8 = pad8(dirs)
+    t8 = pad8(points[..., None])
+
+    n_trunk = len(packed["trunk_w"])
+    weight_args = (
+        list(packed["trunk_w"]) + list(packed["trunk_b"])
+        + [packed["w_sf"], packed["b_sf"], packed["w_rf_top"],
+           packed["w_rf_dir"], packed["b_rf"],
+           packed["w_rgb"], packed["b_rgb"],
+           packed["bx"], packed["fx"], packed["mx"],
+           packed["bd"], packed["fd"], packed["md"]]
+    )
+    e3 = np.zeros((LANE, LANE), np.float32)
+    e3[3, :] = 1.0
+    ones_sel = np.zeros((8, LANE), np.float32)
+    ones_sel[0, :] = 1.0
+
+    def const_spec(a):
+        return pl.BlockSpec(
+            a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    grid = r // r_tile
+    point_spec = pl.BlockSpec((m_tile, 8), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    ray_out, w_out = pl.pallas_call(
+        functools.partial(_ray_march_kernel, config, n_trunk, r_tile, s),
+        grid=(grid,),
+        in_specs=[
+            point_spec, point_spec, point_spec,
+            *[const_spec(a) for a in weight_args],
+            const_spec(e3), const_spec(ones_sel),
+        ],
+        out_specs=(
+            pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, s), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # The quadrature's [r_tile, S, 128] fp32 intermediates exceed the
+            # conservative 16 MB scoped default; v5e has headroom above it.
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pos8, dir8, t8, *weight_args, jnp.asarray(e3), jnp.asarray(ones_sel))
+
+    return RenderOutput(
+        image=ray_out[:, :3],
+        depth=ray_out[:, 3],
+        weights=w_out,
+    )

@@ -180,6 +180,33 @@ def test_train_step_with_use_pallas_learns(cfg):
     assert np.isfinite(losses).all()
 
 
+def test_fused_ray_march_matches_render_chunk():
+    """v3 (quadrature in-kernel) matches the engine render within the bf16 +
+    log-space-cumprod budget."""
+    from keras_nerf_tpu.kernels.ray_march import fused_ray_march
+
+    rcfg = NeRFConfig(n_coarse=12, n_fine=0, white_background=True,
+                      compute_dtype="bfloat16")
+    params, _ = engine.init_params(jax.random.PRNGKey(0), rcfg)
+    packed = pack_mlp_params(params, rcfg.mlp, rcfg.pos_emb_xyz,
+                             rcfg.pos_emb_dir)
+    r, s = 32, 12
+    key = jax.random.PRNGKey(1)
+    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
+    d = jax.random.normal(key, (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(key, (r, s), minval=2.0, maxval=6.0), -1)
+
+    out = fused_ray_march(packed, o, d, t, rcfg, r_tile=16, interpret=True)
+    ref, _ = engine.render_chunk(params, o, d, t, key, rcfg)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref.image),
+                               atol=0.01)
+    np.testing.assert_allclose(np.asarray(out.weights),
+                               np.asarray(ref.weights), atol=0.005)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=0.02)
+
+
 def test_pack_rejects_unaligned_width():
     cfg = NeRFConfig(dense_units=100)
     params, _ = engine.init_params(jax.random.PRNGKey(0), cfg)
