@@ -37,35 +37,62 @@ from keras_nerf_tpu.models import engine
 from keras_nerf_tpu.models.engine import NeRFConfig, TrainState
 
 DATA_AXIS = "data"
+REPLICA_AXIS = "replica"
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """A 1-D ``("data",)`` mesh over the first ``n_devices`` devices."""
+def make_mesh(n_devices: int | None = None, devices=None,
+              n_slices: int = 1) -> Mesh:
+    """A mesh over the first ``n_devices`` devices.
+
+    ``n_slices == 1`` (default): a 1-D ``("data",)`` mesh — DP over ICI.
+    ``n_slices > 1`` (multi-slice pods): a 2-D ``("replica", "data")`` mesh
+    with the slice dimension outermost, so the batch shards over BOTH axes
+    and XLA routes the inner all-reduce hop over ICI and the outer over DCN
+    (the standard multi-slice DP layout; this workload has no tensor/
+    pipeline dimension to place differently — docs/DESIGN.md).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    devices = np.asarray(devices)
+    if n_slices == 1:
+        return Mesh(devices, (DATA_AXIS,))
+    if devices.size % n_slices:
+        raise ValueError(
+            f"{devices.size} devices do not divide into {n_slices} slices")
+    return Mesh(devices.reshape(n_slices, -1), (REPLICA_AXIS, DATA_AXIS))
 
 
-# Batch pytree: (images [B,H,W,4], (origin, direction, points) each [B,...]).
-_BATCH_SPEC = (P(DATA_AXIS), (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)))
-# Rays sharded by image height (band rendering): [B, H, W, ...].
-_RAYS_BAND_SPEC = (P(None, DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS))
-_RENDER_OUT_SPEC = (
-    {"image": P(None, DATA_AXIS), "depth": P(None, DATA_AXIS),
-     "weights": P(None, DATA_AXIS)},
-) * 2
+def _batch_axes(mesh: Mesh) -> tuple[str, ...]:
+    """The mesh axes the image batch shards over (all of them — pure DP)."""
+    return tuple(mesh.axis_names)
+
+
+def _batch_spec(mesh: Mesh):
+    """Batch pytree spec: (images [B,...], rays tuple), all sharded along
+    the leading axis over EVERY mesh axis (pure DP on 1-D and 2-D meshes)."""
+    axes = _batch_axes(mesh)
+    return (P(axes), (P(axes), P(axes), P(axes)))
+
+
+def _band_specs(mesh: Mesh):
+    """Render specs: rays/outputs sharded by image height over all axes."""
+    axes = _batch_axes(mesh)
+    ray_spec = (P(None, axes), P(None, axes), P(None, axes))
+    out_spec = ({"image": P(None, axes), "depth": P(None, axes),
+                 "weights": P(None, axes)},) * 2
+    return ray_spec, out_spec
 
 
 def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
                        ray_chunks: int):
     """shard_map-wrapped train step: global batch in, replicated state out."""
     step = partial(engine.train_step, optimizer=optimizer, config=config,
-                   ray_chunks=ray_chunks, axis_name=DATA_AXIS)
+                   ray_chunks=ray_chunks, axis_name=_batch_axes(mesh))
     return jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(), _BATCH_SPEC, P()),
+        in_specs=(P(), _batch_spec(mesh), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -74,10 +101,10 @@ def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
 def sharded_eval_step(mesh: Mesh, config: NeRFConfig, ray_chunks: int):
     """shard_map-wrapped eval step over the image-batch axis."""
     step = partial(engine.eval_step, config=config, ray_chunks=ray_chunks,
-                   axis_name=DATA_AXIS)
+                   axis_name=_batch_axes(mesh))
     return jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(), _BATCH_SPEC, P()),
+        in_specs=(P(), _batch_spec(mesh), P()),
         out_specs=P(),
         check_vma=False,
     )
@@ -85,15 +112,18 @@ def sharded_eval_step(mesh: Mesh, config: NeRFConfig, ray_chunks: int):
 
 def sharded_render(mesh: Mesh, config: NeRFConfig, ray_chunks: int):
     """shard_map-wrapped full-image render, sharded by image height bands."""
+    axes = _batch_axes(mesh)
+    ray_spec, out_spec = _band_specs(mesh)
+
     def render(coarse_params, fine_params, rays, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        key = jax.random.fold_in(key, jax.lax.axis_index(axes))
         return engine.render_image_batch(
             coarse_params, fine_params, rays, key, config, ray_chunks)
 
     return jax.shard_map(
         render, mesh=mesh,
-        in_specs=(P(), P(), _RAYS_BAND_SPEC, P()),
-        out_specs=_RENDER_OUT_SPEC,
+        in_specs=(P(), P(), ray_spec, P()),
+        out_specs=out_spec,
         check_vma=False,
     )
 
@@ -123,6 +153,7 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a (images, rays) batch sharded along its leading axis."""
-    sharding = jax.sharding.NamedSharding(mesh, P(DATA_AXIS))
+    """Place a (images, rays) batch sharded along its leading axis (over all
+    mesh axes)."""
+    sharding = jax.sharding.NamedSharding(mesh, P(_batch_axes(mesh)))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

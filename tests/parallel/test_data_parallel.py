@@ -135,6 +135,28 @@ def test_sharded_render_band_split(cfg):
                                atol=1e-5)
 
 
+def test_two_d_mesh_multi_slice(cfg):
+    """2-D (replica, data) mesh — the multi-slice DP layout — matches the
+    1-D mesh and single-device math on the coarse path."""
+    mesh2d = make_mesh(8, n_slices=2)
+    assert mesh2d.axis_names == ("replica", "data")
+    opt = engine.make_optimizer("sgd", 0.1)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = make_batch(8, 8, 8, cfg.n_coarse, seed=3)
+    key = jax.random.PRNGKey(5)
+
+    _, m_single = engine.train_step(
+        state, batch, key, optimizer=opt, config=cfg, ray_chunks=64)
+    step = jax.jit(sharded_train_step(mesh2d, opt, cfg, ray_chunks=64))
+    s2, m2 = step(replicate(state, mesh2d), shard_batch(batch, mesh2d), key)
+    np.testing.assert_allclose(float(m2["coarse_loss"]),
+                               float(m_single["coarse_loss"]), rtol=1e-5)
+    assert np.isfinite(float(m2["fine_loss"]))
+
+    with pytest.raises(ValueError):
+        make_mesh(8, n_slices=3)
+
+
 def test_nerf_class_with_mesh(cfg):
     """NeRF.compile(mesh=...) end-to-end on the fake mesh."""
     from keras_nerf_tpu.models import NeRF

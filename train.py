@@ -54,6 +54,9 @@ def main():
     parser.add_argument('--learning_rate', type=float, default=1e-3)
     parser.add_argument('--optimizer', type=str, default='adam')
     parser.add_argument('--mixed_precision', action='store_true')
+    parser.add_argument('--seed', type=int, default=42)
+    parser.add_argument('--debug_nans', action='store_true')
+    parser.add_argument('--profile_dir', type=str, default='')
 
     # NeRF Logging Parameters
     parser.add_argument('--model_dirs', type=str, default='model')

@@ -49,6 +49,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument('--optimizer', type=str, default='adam')
     parser.add_argument('--mixed_precision', action='store_true',
                         help='bfloat16 MLP compute (TPU MXU fast path)')
+    parser.add_argument('--seed', type=int, default=42,
+                        help='global RNG seed (the reference hardcodes 42, '
+                             'train_single.py:10)')
     parser.add_argument('--debug_nans', action='store_true',
                         help='raise on any NaN (the jax equivalent of the '
                              'reference per-gradient assert_all_finite, '
@@ -99,6 +102,7 @@ def run_training(args, mesh=None):
         near=args.near,
         far=args.far,
         n_sample=args.num_coarse_samples,
+        seed=getattr(args, 'seed', 42),
     )
 
     # Resume from the last monitor checkpoint if present (the working
@@ -139,6 +143,7 @@ def run_training(args, mesh=None):
         ray_chunks=args.ray_chunks,
         white_background=args.white_bg,
         learning_rate=args.learning_rate,
+        seed=getattr(args, 'seed', 42),
         mesh=mesh,
     )
 
