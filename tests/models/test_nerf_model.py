@@ -69,6 +69,24 @@ def test_predict_and_render_images(datasets):
     assert img.min() >= 0.0 and img.max() <= 1.0
 
 
+def test_training_is_deterministic(scene):
+    """Same seeds => bit-identical metrics across runs (explicit PRNG-key
+    threading; the reference's implicit TF RNG cannot guarantee this).
+    The dataset must be rebuilt per run — its epoch counter advancing is
+    part of the RNG state."""
+    def run():
+        train, _, _ = DatasetLoader(scene).load_dataset(
+            batch_size=2, image_width=16, image_height=16,
+            near=2.0, far=6.0, n_sample=8, seed=7)
+        model = small_nerf()
+        model.compile(batch_size=2, image_height=16, image_width=16,
+                      ray_chunks=128, seed=7)
+        history = model.fit(train, epochs=2, verbose=False)
+        return history[-1]["fine_loss"]
+
+    assert run() == run()
+
+
 def test_evaluate(datasets):
     _, _, test = datasets
     model = small_nerf()

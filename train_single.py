@@ -167,6 +167,12 @@ def run_training(args, mesh=None):
         callbacks=callbacks,
     )
 
+    # Final held-out evaluation (the reference never evaluates its test
+    # split; logged here for a complete quality record).
+    test_metrics = nerf.evaluate(test_dataset)
+    logging.info('Final test metrics: %s',
+                 ' '.join(f'{k}={v:.4f}' for k, v in test_metrics.items()))
+
     save_path = os.path.join(args.model_dirs, args.name)
     os.makedirs(save_path, exist_ok=True)
     nerf.save_model(save_path)
