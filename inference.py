@@ -48,6 +48,10 @@ def main():
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format='%(asctime)s | %(name)s | %(levelname)s | %(message)s')
+    if args.name == '':
+        # Default the output name to the model directory's basename
+        # (reference `inference.py:47-48`).
+        args.name = os.path.basename(os.path.normpath(args.model_dirs))
     logging.info(args)
 
     import imageio.v2 as imageio

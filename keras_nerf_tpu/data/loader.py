@@ -74,6 +74,7 @@ class NeRFDataset:
         self.shuffle = shuffle
         self.image_height = images.shape[1]
         self.image_width = images.shape[2]
+        self.seed = int(seed)
         self._root_key = jax.random.PRNGKey(seed)
         self._epoch = 0
         self.sharding = sharding
@@ -119,7 +120,7 @@ class NeRFDataset:
             self.images, np.asarray(self.poses),
             focal=self.focal, near=self.near, far=self.far,
             n_samples=self.n_samples, batch_size=batch_size,
-            shuffle=self.shuffle, sharding=self.sharding)
+            shuffle=self.shuffle, seed=self.seed, sharding=self.sharding)
         return ds
 
     def take(self, count: int) -> list[Batch]:
@@ -139,9 +140,11 @@ class DatasetLoader:
     (`keras_nerf/data/loader.py:13-113`).
     """
 
-    def __init__(self, data_dir: str, white_background: bool = False, **_):
+    def __init__(self, data_dir: str, white_background: bool = False,
+                 resize_method: str = "lanczos", **_):
         self.data_dir = data_dir
         self.white_background = white_background
+        self.resize_method = resize_method
 
     def _load_json(self, filename: str) -> dict:
         with open(filename) as f:
@@ -172,7 +175,7 @@ class DatasetLoader:
     ) -> list[NeRFDataset]:
         """Load ``(train, val, test)`` datasets (`loader.py:55-113`)."""
         datasets = []
-        for subset in ["train", "val", "test"]:
+        for split_idx, subset in enumerate(["train", "val", "test"]):
             json_config = self._load_json(
                 os.path.join(self.data_dir, f"transforms_{subset}.json"))
             focal = get_focal_from_fov(
@@ -180,12 +183,15 @@ class DatasetLoader:
             image_paths, camera_params = \
                 self._load_image_path_and_camera_param(json_config)
             images = load_images(
-                image_paths, image_height, image_width, self.white_background)
+                image_paths, image_height, image_width, self.white_background,
+                self.resize_method)
+            # Per-split seed offset so --seed controls all data RNG (shuffle
+            # order + stratified jitter) without correlating the splits.
             datasets.append(NeRFDataset(
                 images, camera_params,
                 focal=focal, near=near, far=far, n_samples=n_sample,
                 batch_size=batch_size, shuffle=(subset == "train"),
-                sharding=sharding,
+                seed=seed + split_idx, sharding=sharding,
             ))
             logging.info("Loaded %s dataset. %d images.",
                          subset, len(image_paths))

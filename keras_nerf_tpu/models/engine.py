@@ -295,6 +295,13 @@ def render_image_batch(
     return unchunk(out_c), unchunk(out_f)
 
 
+def mse_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+    """Default training loss: scalar MSE, ``loss(y_true, y_pred)`` with the
+    Keras argument order the reference's loss callable uses
+    (`train.py:130-136` builds MSE(reduction=NONE) + reduce_mean)."""
+    return jnp.mean(jnp.square(y_pred - y_true))
+
+
 def _batch_metrics(images_c, images_f, target, loss_c, loss_f) -> dict:
     """The six tracked metrics (`nerf.py:306-330`): coarse/fine x
     loss/psnr/ssim; PSNR/SSIM averaged over batch images."""
@@ -316,8 +323,13 @@ def train_step(
     config: NeRFConfig,
     ray_chunks: int,
     axis_name: str | None = None,
+    loss_fn=None,
 ) -> tuple[TrainState, dict]:
     """One optimizer step over one batch of whole-image rays.
+
+    ``loss_fn(y_true, y_pred) -> scalar`` defaults to :func:`mse_loss`; a
+    custom callable is applied per chunk exactly where the reference applies
+    its compiled loss (`nerf.py:366-373`, callable from `train.py:130-136`).
 
     Mirrors `NeRF.train_step` (`nerf.py:332-473`): per-chunk forward+grad for
     coarse and fine (fine's sampling reads stop-gradient coarse weights),
@@ -332,6 +344,8 @@ def train_step(
     SURVEY.md §2 "parallelism strategies"). The RNG key is decorrelated per
     device by folding in the axis index.
     """
+    if loss_fn is None:
+        loss_fn = mse_loss
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     images, rays = batch
@@ -354,8 +368,8 @@ def train_step(
         coarse_params, fine_params = both_params
         out_c, out_f = render_chunk_pair(
             coarse_params, fine_params, oc, dc, tc, k, config)
-        loss_c = jnp.mean(jnp.square(out_c.image - tgt))
-        loss_f = jnp.mean(jnp.square(out_f.image - tgt))
+        loss_c = loss_fn(tgt, out_c.image)
+        loss_f = loss_fn(tgt, out_f.image)
         return loss_c + loss_f, (loss_c, loss_f, out_c.image, out_f.image)
 
     grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
@@ -416,16 +430,19 @@ def eval_step(
     config: NeRFConfig,
     ray_chunks: int,
     axis_name: str | None = None,
+    loss_fn=None,
 ) -> dict:
     """Chunked full inference + metrics (`NeRF.test_step`, `nerf.py:475-497`)."""
+    if loss_fn is None:
+        loss_fn = mse_loss
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     images, rays = batch
     target = images[..., :3]
     out_c, out_f = render_image_batch(
         state.coarse_params, state.fine_params, rays, key, config, ray_chunks)
-    loss_c = jnp.mean(jnp.square(out_c["image"] - target))
-    loss_f = jnp.mean(jnp.square(out_f["image"] - target))
+    loss_c = loss_fn(target, out_c["image"])
+    loss_f = loss_fn(target, out_f["image"])
     metrics = _batch_metrics(out_c["image"], out_f["image"], target,
                              loss_c, loss_f)
     if axis_name is not None:

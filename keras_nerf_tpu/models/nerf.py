@@ -87,9 +87,16 @@ class NeRF:
         asserts divisibility, builds utils, initializes accumulators (here:
         nothing to pre-allocate — grads are scan carries) and two optimizers.
         """
-        if loss not in ("mse", None) and not callable(loss):
-            raise ValueError(f"unsupported loss: {loss!r} (the engine trains "
-                             "with per-chunk MSE, like the reference)")
+        if callable(loss):
+            # A custom callable trains the model exactly where the reference
+            # consumes its compiled loss (`train.py:130-136` -> `nerf.py:366`):
+            # applied per chunk as loss(y_true, y_pred) -> scalar.
+            loss_fn = loss
+        elif loss in ("mse", None):
+            loss_fn = engine.mse_loss
+        else:
+            raise ValueError(f"unsupported loss: {loss!r} (pass 'mse' or a "
+                             "callable loss(y_true, y_pred) -> scalar)")
         self.config = NeRFConfig(
             **{**self.config.to_model_config(),
                "white_background": white_background,
@@ -136,9 +143,10 @@ class NeRF:
 
         donate = (0,) if is_training else ()
         train_fn = partial(engine.train_step, optimizer=self.optimizer,
-                           config=self.config, ray_chunks=self.ray_chunks)
+                           config=self.config, ray_chunks=self.ray_chunks,
+                           loss_fn=loss_fn)
         eval_fn = partial(engine.eval_step, config=self.config,
-                          ray_chunks=self.ray_chunks)
+                          ray_chunks=self.ray_chunks, loss_fn=loss_fn)
         render_fn = partial(engine.render_image_batch, config=self.config,
                             ray_chunks=self.ray_chunks)
 
@@ -207,10 +215,23 @@ class NeRF:
         """Run test_step over a dataset; returns mean metrics (the Keras
         ``evaluate`` equivalent over the engine's `nerf.py:475-497` path)."""
         self._require_compiled()
+        # Splits smaller than the (global) batch size yield zero batches
+        # under drop_remainder — rebatch down like the monitor does instead
+        # of silently returning all-zero means.
+        if (hasattr(dataset, "num_examples") and hasattr(dataset, "rebatch")
+                and len(dataset) == 0 and dataset.num_examples > 0):
+            logging.warning(
+                "evaluate: dataset has %d images < batch size %d; rebatching",
+                dataset.num_examples, dataset.batch_size)
+            dataset = dataset.rebatch(dataset.num_examples)
         for tracker in self.val_metrics.values():
             tracker.reset()
+        n_batches = 0
         for batch in dataset:
             self.test_step(batch, key)
+            n_batches += 1
+        if n_batches == 0:
+            raise ValueError("evaluate: dataset yielded no batches")
         return {k: t.result() for k, t in self.val_metrics.items()}
 
     # -------------------------------------------------------------------- fit

@@ -126,6 +126,17 @@ class NeRFTrainMonitor:
             ax.set_title(title)
             ax.axis("off")
 
+    def _batch_loss_axes(self, fig, gs, batch):
+        """Log-scale per-batch loss curves (`callback.py:100-107`)."""
+        ax = fig.add_subplot(gs[1, :])
+        ax.plot(self.coarse_log_list_batch, color="blue",
+                label="Coarse Train Loss")
+        ax.plot(self.fine_log_list_batch, color="orange",
+                label="Fine Train Loss")
+        ax.legend()
+        ax.set_yscale("log")
+        ax.set_title(f"Loss Batch Plot: {batch}")
+
     def _loss_axes(self, fig, gs, epoch):
         ax = fig.add_subplot(gs[1, :])
         ax.plot(self.coarse_log_list, color="blue", label="Coarse Train Loss")
@@ -145,12 +156,16 @@ class NeRFTrainMonitor:
             return
         self.coarse_log_list_batch.append(logs["coarse_loss"])
         self.fine_log_list_batch.append(logs["fine_loss"])
+        # Every batch image as a 2x5 panel with the log-scale batch-loss
+        # curves, exactly the reference's verbose debug renders
+        # (`callback.py:75-111`).
         coarse, fine = self.model.predict_and_render_images(self.rays)
-        for i in range(min(self.batch_size, 1)):  # one debug image per batch
-            fig = plt.figure(figsize=(20, 5))
-            gs = fig.add_gridspec(1, 5)
+        for i in range(self.batch_size):
+            fig = plt.figure(figsize=(20, 10))
+            gs = fig.add_gridspec(2, 5)
             self._panel_row(fig, gs, 0, coarse, fine,
                             self.images[..., :3], i)
+            self._batch_loss_axes(fig, gs, batch)
             fig.savefig(os.path.join(self.log_dir, f"debug_{i}_{batch}.png"))
             plt.close(fig)
 

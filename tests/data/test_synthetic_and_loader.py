@@ -102,3 +102,41 @@ def test_synthetic_view_consistency(scene):
     got = render_pose(c2w, 32)
     # PNG round-trip quantizes to 1/255.
     np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+
+
+def test_seed_controls_data_rng(scene):
+    """--seed must actually steer the data RNG (ADVICE.md round 1: it was
+    silently dropped): different seeds -> different shuffle order / jitter;
+    same seed -> identical batches; rebatch() preserves the seed."""
+    def first_epoch(seed):
+        train, _, _ = DatasetLoader(scene).load_dataset(
+            batch_size=2, image_width=32, image_height=32,
+            near=2.0, far=6.0, n_sample=8, seed=seed)
+        return [(np.asarray(img), np.asarray(rays[2]))
+                for img, rays in train]
+
+    a = first_epoch(1)
+    b = first_epoch(1)
+    c = first_epoch(2)
+    for (img_a, t_a), (img_b, t_b) in zip(a, b):
+        np.testing.assert_array_equal(img_a, img_b)
+        np.testing.assert_array_equal(t_a, t_b)
+    assert any(not np.array_equal(t_a, t_c) for (_, t_a), (_, t_c)
+               in zip(a, c))
+
+    train, _, _ = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=32, image_height=32,
+        near=2.0, far=6.0, n_sample=8, seed=7)
+    assert train.rebatch(1).seed == train.seed
+
+
+def test_resize_method_antialias_bilinear(scene):
+    """The tf-parity resize path loads and produces valid pixels."""
+    path = os.path.join(scene, "train", "r_0.png")
+    img = load_image(path, 16, 16, resize_method="antialias-bilinear")
+    assert img.shape == (16, 16, 4)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    lanczos = load_image(path, 16, 16, resize_method="lanczos")
+    assert not np.allclose(img, lanczos)  # genuinely different filters
+    with pytest.raises(ValueError):
+        load_image(path, 16, 16, resize_method="nearest")

@@ -72,25 +72,44 @@ def test_train_step_decreases_loss(cfg, toy_batch):
     assert int(state.step) == 30
 
 
-def test_chunked_equals_unchunked_grads(cfg, state, toy_batch):
-    """ray_chunks is a memory knob, not a math knob: one step with chunks=
-    num_rays must produce the same new params as chunks=num_rays/4 (equal
-    chunks -> identical averaged gradients). The fine sampling RNG differs
-    per chunk, so compare with n_fine=0-like tolerance via loss values on a
-    fixed key: we instead check coarse gradients by running two chunkings
-    with the same per-chunk keys is impossible — so assert closeness of the
-    coarse loss (RNG-independent) and parameter drift smallness."""
-    opt = engine.make_optimizer("sgd", 0.0)  # lr 0: params unchanged
+def _sgd_step_params(cfg, toy_batch, ray_chunks):
+    """One SGD(lr=1) step: updated params = initial - gradient, so comparing
+    params leaf-for-leaf compares the accumulated gradient trees exactly."""
+    opt = engine.make_optimizer("sgd", 1.0)
     s0 = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
-    _, m_full = engine.train_step(
+    s1, _ = engine.train_step(
         s0, toy_batch, jax.random.PRNGKey(3), optimizer=opt, config=cfg,
-        ray_chunks=2 * 8 * 8)
-    _, m_chunk = engine.train_step(
-        s0, toy_batch, jax.random.PRNGKey(3), optimizer=opt, config=cfg,
-        ray_chunks=32)
-    # Coarse loss has no sampling RNG: must match to fp tolerance.
-    np.testing.assert_allclose(float(m_full["coarse_loss"]),
-                               float(m_chunk["coarse_loss"]), rtol=1e-5)
+        ray_chunks=ray_chunks)
+    return s0, s1
+
+
+def test_chunked_equals_unchunked_grads(cfg, toy_batch):
+    """CLAUDE.md invariant: --ray_chunks is a memory knob, not a math knob —
+    chunked and whole-batch GRADIENTS must agree. The coarse path consumes no
+    per-chunk RNG, so its gradient (recovered as the SGD lr=1 param delta)
+    must match leaf-for-leaf across chunkings."""
+    _, s_full = _sgd_step_params(cfg, toy_batch, ray_chunks=2 * 8 * 8)
+    _, s_chunk = _sgd_step_params(cfg, toy_batch, ray_chunks=32)
+    for a, b in zip(jax.tree.leaves(s_full.coarse_params),
+                    jax.tree.leaves(s_chunk.coarse_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_chunked_equals_unchunked_grads_fine_path(toy_batch):
+    """With n_fine=0 the fine pass consumes no RNG either (zero hierarchical
+    draws), so BOTH gradient trees must agree across chunkings — covering the
+    fine accumulation path end-to-end."""
+    cfg0 = NeRFConfig(n_coarse=8, n_fine=0, pos_emb_xyz=4, pos_emb_dir=2,
+                      n_layers=3, dense_units=32, skip_layer=2)
+    _, s_full = _sgd_step_params(cfg0, toy_batch, ray_chunks=2 * 8 * 8)
+    _, s_chunk = _sgd_step_params(cfg0, toy_batch, ray_chunks=32)
+    for tree_full, tree_chunk in (
+            (s_full.coarse_params, s_chunk.coarse_params),
+            (s_full.fine_params, s_chunk.fine_params)):
+        for a, b in zip(jax.tree.leaves(tree_full), jax.tree.leaves(tree_chunk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
 
 
 def test_fine_loss_does_not_update_coarse_params(cfg, toy_batch):
@@ -157,6 +176,41 @@ def test_coarse_only_n_fine_zero(toy_batch):
         state.coarse_params, state.fine_params, toy_batch[1],
         jax.random.PRNGKey(0), cfg0, ray_chunks=32)
     assert out_f["weights"].shape[-1] == 8  # coarse depths only
+
+
+def test_custom_loss_callable_is_used(cfg, state, toy_batch):
+    """A callable loss(y_true, y_pred) must actually train the model — the
+    reference consumes its compiled loss (`train.py:130-136`); a silently
+    substituted MSE would report different loss values than L1."""
+    def l1(y_true, y_pred):
+        return jnp.mean(jnp.abs(y_pred - y_true))
+
+    opt = engine.make_optimizer("sgd", 0.0)
+    _, m_l1 = engine.train_step(
+        state, toy_batch, jax.random.PRNGKey(3), optimizer=opt, config=cfg,
+        ray_chunks=32, loss_fn=l1)
+    _, m_mse = engine.train_step(
+        state, toy_batch, jax.random.PRNGKey(3), optimizer=opt, config=cfg,
+        ray_chunks=32)
+    # L1 of a sub-unit error is larger than its square: the callable was used.
+    assert float(m_l1["coarse_loss"]) != pytest.approx(
+        float(m_mse["coarse_loss"]))
+    # And eval_step threads it identically.
+    e_l1 = engine.eval_step(state, toy_batch, jax.random.PRNGKey(3),
+                            config=cfg, ray_chunks=32, loss_fn=l1)
+    e_mse = engine.eval_step(state, toy_batch, jax.random.PRNGKey(3),
+                             config=cfg, ray_chunks=32)
+    assert float(e_l1["coarse_loss"]) != pytest.approx(
+        float(e_mse["coarse_loss"]))
+
+
+def test_nerf_compile_rejects_unknown_loss_string(cfg):
+    from keras_nerf_tpu.models import NeRF
+    nerf = NeRF(n_coarse=8, n_fine=0, pos_emb_xyz=2, pos_emb_dir=1,
+                n_layers=2, dense_units=16, skip_layer=4)
+    with pytest.raises(ValueError):
+        nerf.compile(loss="huber", batch_size=1, image_height=4,
+                     image_width=4, ray_chunks=16)
 
 
 def test_make_optimizer_strings():

@@ -167,3 +167,51 @@ def test_inference_cli_end_to_end(tmp_path, scene):
     frames = imageio.mimread(gif)
     assert len(frames) == 3  # 360 / 120
     assert np.asarray(frames[0]).shape[:2] == (16, 16)
+
+
+def test_monitor_verbose_debug_renders(tmp_path, scene):
+    """Verbose mode renders EVERY batch image as a 2x5 panel (images + the
+    log-scale batch-loss subplot) named debug_{i}_{batch}.png — the
+    reference's `callback.py:75-111` contract."""
+    _, _, test = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+    log_dir = str(tmp_path / "logs_verbose")
+    monitor = NeRFTrainMonitor(dataset=test, log_dir=log_dir, batch_size=2,
+                               update_freq=1, verbose=True)
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=512)
+    monitor.set_model(model)
+
+    logs = {"coarse_loss": 0.2, "fine_loss": 0.1}
+    monitor.on_train_batch_end(0, logs)
+    monitor.on_train_batch_end(1, logs)
+    # One debug panel per image of the batch, per batch.
+    for batch in (0, 1):
+        for i in range(2):
+            p = os.path.join(log_dir, f"debug_{i}_{batch}.png")
+            assert os.path.exists(p), p
+    assert monitor.coarse_log_list_batch == [0.2, 0.2]
+    # The 2x5 panel with the loss subplot is taller than the plain 1x5
+    # sample panels (figsize 20x10 vs 20x5).
+    from PIL import Image
+    with Image.open(os.path.join(log_dir, "debug_0_0.png")) as im:
+        w, h = im.size
+    assert h > w // 3  # 2-row layout, not the 1x5 strip
+
+
+def test_evaluate_rebatches_small_dataset(scene):
+    """A test split smaller than the global batch must not silently return
+    all-zero means from evaluate (ADVICE.md round 1)."""
+    _, _, test = DatasetLoader(scene).load_dataset(
+        batch_size=8, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+    assert len(test) == 0  # drop_remainder would yield no batches
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=512)
+    metrics = model.evaluate(test)
+    assert metrics["fine_psnr"] != 0.0

@@ -181,3 +181,42 @@ def test_mlp_forward_parity(rng):
         np.asarray(got_rgb), ref_rgb.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(got_sigma), ref_sigma.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_psnr_parity_vs_tf_image(rng):
+    """The logged PSNR curves come from tf.image.psnr in the reference
+    (`nerf.py:309-310`); ours must match on identical inputs."""
+    from keras_nerf_tpu.ops.metrics import psnr
+    a = rng.uniform(size=(3, 32, 32, 3)).astype(np.float32)
+    b = rng.uniform(size=(3, 32, 32, 3)).astype(np.float32)
+    want = tf.image.psnr(tf.constant(a), tf.constant(b), max_val=1.0).numpy()
+    got = np.asarray(psnr(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ssim_parity_vs_tf_image(rng):
+    """tf.image.ssim with its defaults (11x11 Gaussian, k1=0.01, k2=0.03,
+    max_val=1) — the reference's metric (`nerf.py:311-312`)."""
+    from keras_nerf_tpu.ops.metrics import ssim
+    a = rng.uniform(size=(3, 32, 32, 3)).astype(np.float32)
+    # Correlated pair: SSIM of independent noise is ~0 everywhere and would
+    # under-test the structural term.
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+    want = tf.image.ssim(tf.constant(a), tf.constant(b), max_val=1.0).numpy()
+    got = np.asarray(ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_parity_vs_tf_image(rng):
+    """The antialias-bilinear resize path must reproduce the reference's
+    tf.image.resize(..., antialias=True) pixels (`image.py:22-23`) so PSNR
+    comparisons on real scenes are input-identical."""
+    from keras_nerf_tpu.data.image import resize_antialias_bilinear
+    for in_hw, out_hw in [((800, 800), (128, 128)), ((64, 48), (32, 24)),
+                          ((16, 16), (32, 32))]:
+        img = rng.uniform(size=(*in_hw, 4)).astype(np.float32)
+        want = tf.image.resize(
+            tf.constant(img), out_hw, method="bilinear",
+            antialias=True).numpy()
+        got = resize_antialias_bilinear(img, *out_hw)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -57,6 +57,12 @@ def main():
     parser.add_argument('--seed', type=int, default=42)
     parser.add_argument('--debug_nans', action='store_true')
     parser.add_argument('--profile_dir', type=str, default='')
+    parser.add_argument('--use_pallas', action='store_true',
+                        help='fused Pallas PE+MLP kernels on the render path')
+    parser.add_argument('--resize_method', type=str, default='lanczos',
+                        choices=['lanczos', 'antialias-bilinear'],
+                        help='image resize filter; antialias-bilinear matches '
+                             'the reference tf.image.resize exactly')
 
     # NeRF Logging Parameters
     parser.add_argument('--model_dirs', type=str, default='model')

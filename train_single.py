@@ -59,6 +59,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument('--profile_dir', type=str, default='',
                         help='write a jax.profiler trace for the first '
                              'training epoch to this directory')
+    parser.add_argument('--use_pallas', action='store_true',
+                        help='fused Pallas PE+MLP kernels on the render path '
+                             '(opt-in; see kernels/ray_march.py status)')
+    parser.add_argument('--resize_method', type=str, default='lanczos',
+                        choices=['lanczos', 'antialias-bilinear'],
+                        help='image resize filter; antialias-bilinear matches '
+                             'the reference tf.image.resize exactly')
 
     # NeRF Logging Parameters
     parser.add_argument('--model_dirs', type=str, default='model')
@@ -94,7 +101,9 @@ def run_training(args, mesh=None):
         logging.info("Mesh: %d devices; global batch %d",
                      n_devices, global_batch_size)
 
-    dataset_loader = DatasetLoader(args.data_dir, args.white_bg)
+    dataset_loader = DatasetLoader(
+        args.data_dir, args.white_bg,
+        resize_method=getattr(args, 'resize_method', 'lanczos'))
     train_dataset, val_dataset, test_dataset = dataset_loader.load_dataset(
         batch_size=global_batch_size,
         image_width=args.img_wh,
@@ -145,6 +154,7 @@ def run_training(args, mesh=None):
         learning_rate=args.learning_rate,
         seed=getattr(args, 'seed', 42),
         mesh=mesh,
+        use_pallas=getattr(args, 'use_pallas', False),
     )
 
     callbacks = [nerf_monitor]
