@@ -1,51 +1,48 @@
-"""Fused Pallas ray-march MLP kernel.
+"""Fused Pallas MLP kernels for the NeRF ray march.
 
 The hot op of the whole framework: evaluating the radiance-field MLP over
-every (ray, sample) point. The XLA path (`keras_nerf_tpu/models/mlp.py`)
-round-trips every layer's [P, 256] activation tensor through HBM; this kernel
-keeps the entire trunk + heads in VMEM per point tile — only the encoded
-inputs stream in and a packed [P, 4] (rgb, sigma) tensor streams out. All
-matmuls are lane-aligned bfloat16 on the MXU with float32 accumulation.
+every (ray, sample) point, forward AND backward. The XLA path
+(`keras_nerf_tpu/models/mlp.py`) round-trips every layer's [P, 256]
+activation through HBM — at the headline config that makes both passes
+HBM-bandwidth-bound (measured ~2-3x the MXU roofline). These kernels keep
+the entire trunk + heads in VMEM per point tile; only one encoded input tile
+streams in and one packed rgb/sigma tile streams out.
 
-Design (see /opt/skills/guides/pallas_guide.md):
+Design (v4 — see /opt/skills/guides/pallas_guide.md):
 
-* grid over point tiles; the packed weights (~1.3 MB bf16 at the default
-  8x256 architecture) use constant index maps, so Mosaic keeps them
-  VMEM-resident across the whole grid instead of re-fetching;
-* the positional encoding itself runs IN the kernel (selection-matrix
-  broadcast of the raw [T, 8] xyz/dir tiles + masked sin/cos with explicit
-  2-pi range reduction) in BLOCK order ([x | sin-block | cos-block]),
-  zero-padded to lane-friendly widths (63 -> 64 xyz, 27 -> 32 dir); the
-  packed first-layer / head weights are row-permuted + zero-padded to match
-  (:func:`keras_nerf_tpu.ops.encoding.block_permutation`), so the kernel
-  computes the same function as the reference-ordered XLA path
-  (`tests/models/test_pallas_kernel.py` asserts equivalence);
-* sigma and the feature head share one [256, 384] matmul (sigma rides in
-  column 256); rgb heads are padded to 128-lane outputs.
+* the kernel consumes ONE pre-encoded ``[T, 128]`` bfloat16 input tile:
+  lanes 0..62 the block-order xyz encoding, lanes 64..90 the block-order
+  view-dir encoding, everything else zero (:func:`encode_block128`, computed
+  by XLA where it fuses with the ray expansion). Unlike the round-1 kernels
+  (raw [T, 8] inputs + in-kernel PE) this gives Mosaic a perfectly
+  lane-aligned operand: no relayout copies, no in-kernel transcendentals,
+  and the encoding is computed ONCE per step instead of re-derived by the
+  recompute backward;
+* there are NO lane concatenations or sub-128 slices anywhere: every place
+  the reference concatenates (skip connection `mlp.py:36-38`, view-dir
+  concat `mlp.py:43-44`) becomes a SPLIT matmul against row-masked packed
+  weights — ``h @ W_a + enc128 @ W_enc`` with the unused rows of ``W_enc``
+  zero, which computes the identical function;
+* sigma and the feature head share one ``[256, 384]`` matmul (sigma rides
+  in column 256 — `mlp.py:17-21`); all matmuls accumulate in float32;
+* packed weights (~1.3 MB bf16) use constant index maps, so Mosaic keeps
+  them VMEM-resident across the whole grid;
+* the BACKWARD kernel recomputes the forward per tile in VMEM
+  (flash-attention-style) and accumulates packed weight/bias gradients
+  across the sequential grid. Recompute beats an HBM activation stash:
+  re-running the forward costs ~2.4 ms of MXU per fine chunk vs ~4 ms of
+  HBM round-trip for the ~1.6 GB of stashed activations (ROADMAP round-1
+  path b, settled analytically and consistent with measurements).
 
-Training support: :func:`fused_point_forward` is a custom_vjp whose BACKWARD
-is also a Pallas kernel (:func:`fused_mlp_backward`) — it recomputes the
-forward per tile entirely in VMEM (flash-attention-style) and emits packed
-weight/bias gradients accumulated across the sequential grid, verified
-leaf-for-leaf against XLA autodiff (tests/models/test_pallas_kernel.py).
+History: the round-1 kernels (raw-input + in-kernel PE, and a v3 variant
+with the quadrature in-kernel) lost to XLA end-to-end (8.8 / 9.4 ms vs
+6.5 ms per 2048-ray fine chunk) to operand relayouts, doubled PE work and
+128x lane-broadcast waste on per-ray scalars. v4 resolves all three by
+construction; measured numbers live in docs/DESIGN.md and BENCH_r02.json.
 
-Status (measured on v5e-1, 2048 rays x 192 samples, bf16): the bare kernel
-beats XLA on the trunk (3.2 ms vs 5.7 ms trunk-only; 3.7 ms full MLP vs
-6.5 ms for XLA's whole encode+MLP+render), but end-to-end the pallas_call
-boundary costs it back: operand relayout copies + in-kernel PE
-transcendentals give 8.8 ms forward, and the recompute backward makes the
-full train step 259 ms vs XLA's 220 ms (identical losses). The fully fused
-v3 ray-march (:func:`fused_ray_march` — quadrature in-kernel, per-ray
-samples never leave VMEM) lands at 9.4 ms: the per-ray scalar chain
-(alpha/transmittance/weights) must either relayout sublane<->lane or pay a
-128x lane-broadcast, and that waste exceeds the saved HBM traffic. XLA's
-fusion of this dense MLP chain is simply strong on TPU at these sizes. The
-kernels therefore stay an OPT-IN path (`NeRFConfig(use_pallas=True)` /
-`--use_pallas`), exact in interpret mode and within bf16 rounding on
-hardware; the default compute path remains XLA.
-
-Reference semantics covered: `keras_nerf/model/nerf/mlp.py:29-50` (the MLP
-this fuses).
+Gradients are verified leaf-for-leaf against XLA autodiff
+(tests/models/test_pallas_kernel.py). Reference semantics covered:
+`keras_nerf/model/nerf/mlp.py:29-50`.
 """
 
 from __future__ import annotations
@@ -63,211 +60,261 @@ from keras_nerf_tpu.ops.encoding import block_permutation, encoded_dim
 from keras_nerf_tpu.ops.rendering import RenderOutput, render_rays
 
 LANE = 128
+ENC_XYZ_OFF = 0    # xyz block occupies lanes [0, 64)
+ENC_DIR_OFF = 64   # dir block occupies lanes [64, 128)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pad_rows(w: np.ndarray, rows: int) -> np.ndarray:
-    out = np.zeros((rows, w.shape[1]), dtype=w.dtype)
-    out[: w.shape[0]] = w
-    return out
+def kernel_supported(config: MLPConfig, pos_emb_xyz: int,
+                     pos_emb_dir: int) -> bool:
+    """Static shape envelope of the fused kernels."""
+    u = config.dense_units
+    return (u % LANE == 0 and (u // 2) % LANE == 0
+            and encoded_dim(3, pos_emb_xyz) <= 64
+            and encoded_dim(3, pos_emb_dir) <= 64)
 
 
-def _pe_constants(num_freqs: int, pad: int):
-    """In-kernel positional-encoding constants for block layout
-    ``[x | sin-block | cos-block | pad]``.
+def encode_block128(
+    positions: jnp.ndarray,
+    directions: jnp.ndarray,
+    pos_emb_xyz: int,
+    pos_emb_dir: int,
+) -> jnp.ndarray:
+    """XLA-side input packing: ``([..., 3], [..., 3]) -> [..., 128]`` bf16.
 
-    * ``B [8, pad]``: selection matrix broadcasting the (lane 0..2) xyz input
-      into every encoded lane's source coordinate via one tiny MXU matmul;
-    * ``f [1, pad]``: per-lane frequency ``2^l`` (1 on raw/pad lanes);
-    * ``m [3, pad]``: 0/1 masks for (raw, sin, cos) lanes — pad lanes are 0
-      in all three, so padded features come out exactly zero.
+    Block-order positional encodings (`ops/encoding.py:
+    positional_encoding_block`) for xyz (63 dims, lanes 0..62) and view dir
+    (27 dims, lanes 64..90); zero pad elsewhere. The packed first-layer /
+    head weights are row-permuted to this layout, so kernel output ==
+    reference-order math.
     """
-    n = 3 * (1 + 2 * num_freqs)
-    b = np.zeros((8, pad), np.float32)
-    f = np.ones((1, pad), np.float32)
-    m = np.zeros((3, pad), np.float32)
-    for lane in range(n):
-        if lane < 3:
-            d, kind, l = lane, 0, 0
-        elif lane < 3 + 3 * num_freqs:
-            l, d = divmod(lane - 3, 3)
-            kind = 1
-        else:
-            l, d = divmod(lane - 3 - 3 * num_freqs, 3)
-            kind = 2
-        b[d, lane] = 1.0
-        f[0, lane] = 2.0 ** l
-        m[kind, lane] = 1.0
-    return (jnp.asarray(b), jnp.asarray(f), jnp.asarray(m))
-
-
-def _encode_in_kernel(pos8, b_ref, f_ref, m_ref):
-    """PE inside the kernel: ``[T, 8] xyz -> [T, pad] bf16`` block encoding.
-
-    Explicit 2-pi range reduction before sin/cos: arguments reach
-    ``2^(L-1) * |x|`` (~2000 rad at L=10), where the hardware transcendental
-    approximation loses accuracy without it.
-    """
-    rep = jnp.dot(pos8, b_ref[...], preferred_element_type=jnp.float32)
-    scaled = rep * f_ref[...]
-    two_pi = 6.283185307179586
-    scaled = scaled - two_pi * jnp.round(scaled * (1.0 / two_pi))
-    m = m_ref[...]
-    enc = (m[0:1, :] * rep
-           + m[1:2, :] * jnp.sin(scaled)
-           + m[2:3, :] * jnp.cos(scaled))
+    b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
+    x6 = jnp.concatenate([positions, directions], axis=-1)
+    rep = jnp.dot(x6, jnp.asarray(b), preferred_element_type=jnp.float32)
+    enc = (masks[0] * rep + masks[1] * jnp.sin(rep)
+           + masks[2] * jnp.cos(rep))
     return enc.astype(jnp.bfloat16)
+
+
+@functools.lru_cache(maxsize=None)
+def _enc128_constants(pos_emb_xyz: int, pos_emb_dir: int):
+    """One-matmul encoding constants: ``[P, 6] @ [6, 128]`` produces every
+    scaled argument exactly (one nonzero per column), then 0/1 masks pick
+    raw/sin/cos per lane. Replaces the ``[..., L, 3]`` broadcast whose tiny
+    lane dim costs ~6x the sin/cos in TPU relayouts (same trick as
+    `ops/encoding.py:_selection_constants`, both blocks in one matmul)."""
+    from keras_nerf_tpu.ops.encoding import _selection_constants
+
+    bx, mx = _selection_constants(3, pos_emb_xyz, "block")
+    bd, md = _selection_constants(3, pos_emb_dir, "block")
+    n_x, n_d = bx.shape[1], bd.shape[1]
+    b = np.zeros((6, LANE), np.float32)
+    masks = np.zeros((3, LANE), np.float32)
+    b[0:3, ENC_XYZ_OFF:ENC_XYZ_OFF + n_x] = bx
+    b[3:6, ENC_DIR_OFF:ENC_DIR_OFF + n_d] = bd
+    masks[:, ENC_XYZ_OFF:ENC_XYZ_OFF + n_x] = mx
+    masks[:, ENC_DIR_OFF:ENC_DIR_OFF + n_d] = md
+    return b, masks
+
+
+def _layer_uses_enc(i: int, skip: set) -> bool:
+    """Trunk layer ``i`` reads the encoded input: layer 0 always; any layer
+    right after a skip concat (`mlp.py:36-38`)."""
+    return i == 0 or (i - 1) in skip
 
 
 def pack_mlp_params(params, config: MLPConfig, pos_emb_xyz: int,
                     pos_emb_dir: int) -> dict:
     """Pack a reference-layout param pytree into kernel-layout arrays.
 
-    Weights -> bfloat16 with rows permuted into block-encoding order
-    (:func:`keras_nerf_tpu.ops.encoding.block_permutation`) and zero-padded
-    to sublane-aligned K dims; biases stay float32 (shaped ``[1, N]`` for
-    VMEM tiling). Zero pad rows multiply the (zero) pad features, so the
-    function is unchanged.
+    Weights -> bfloat16; every matrix that reads the encoded input gets its
+    encoding rows permuted into block order and placed in a ``[128, n]``
+    matrix at the xyz/dir lane offsets (zero rows elsewhere — zero rows
+    multiply zero or irrelevant lanes, so the function is unchanged).
+    Biases stay float32, shaped ``[1, n]`` for VMEM tiling.
 
     Fully jnp-traceable: callable inside jit (the training custom_vjp packs
     on the fly) as well as on concrete params.
     """
     u = config.dense_units
-    half = u // 2
-    if u % LANE or half % LANE:
+    if not kernel_supported(config, pos_emb_xyz, pos_emb_dir):
         raise ValueError(
-            f"fused kernel requires dense_units % {LANE} == 0 and "
-            f"dense_units//2 % {LANE} == 0 (got {u})")
+            f"fused kernel requires dense_units % {LANE} == 0, "
+            f"dense_units//2 % {LANE} == 0 and encodings <= 64 dims "
+            f"(got units={u}, Lx={pos_emb_xyz}, Ld={pos_emb_dir})")
 
     in_x = encoded_dim(3, pos_emb_xyz)
     in_d = encoded_dim(3, pos_emb_dir)
-    in_x_pad = _round_up(in_x, 16)   # bf16 sublane multiple
-    in_d_pad = _round_up(in_d, 16)
     perm_x = np.asarray(block_permutation(3, pos_emb_xyz))
     perm_d = np.asarray(block_permutation(3, pos_emb_dir))
-
-    def pad_rows(w, rows):
-        return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
-
-    def pad_cols(w, cols):
-        return jnp.pad(w, ((0, 0), (0, cols - w.shape[1])))
-
-    def pack_trunk_reader(w):
-        """Permute/pad a matrix that reads the trunk output: when the
-        previous layer was a skip layer, fan-in is u + in_x and the encoded
-        rows get the block permutation + zero pad, matching the kernel's
-        [trunk | enc | pad] activation layout."""
-        if w.shape[0] == u:
-            return w
-        return pad_rows(
-            jnp.concatenate(
-                [w[:u], jnp.take(w[u:], perm_x, axis=0)], axis=0),
-            u + in_x_pad)
-
     skip = set(config.skip_indices())
-    trunk_w, trunk_b = [], []
+    n = config.n_layers
+    last_skip = (n - 1) in skip  # heads read concat(h, enc_xyz)
+
+    def enc128_rows(w_x=None, w_d=None, cols=None):
+        """[128, cols] matrix with permuted xyz rows at ENC_XYZ_OFF and/or
+        permuted dir rows at ENC_DIR_OFF."""
+        out = jnp.zeros((LANE, cols), dtype=jnp.float32)
+        if w_x is not None:
+            out = out.at[ENC_XYZ_OFF:ENC_XYZ_OFF + in_x].set(
+                jnp.take(w_x, perm_x, axis=0))
+        if w_d is not None:
+            out = out.at[ENC_DIR_OFF:ENC_DIR_OFF + in_d].set(
+                jnp.take(w_d, perm_d, axis=0))
+        return out
+
+    trunk_w, trunk_enc_w, trunk_b = [], [], []
     for i, layer in enumerate(params["trunk"]):
         w = layer["kernel"]
         if i == 0:
-            w = pad_rows(jnp.take(w, perm_x, axis=0), in_x_pad)
+            trunk_w.append(enc128_rows(w_x=w, cols=u).astype(jnp.bfloat16))
+            trunk_enc_w.append(None)
         elif (i - 1) in skip:
-            w = pack_trunk_reader(w)
-        trunk_w.append(w.astype(jnp.bfloat16))
+            trunk_w.append(w[:u].astype(jnp.bfloat16))
+            trunk_enc_w.append(
+                enc128_rows(w_x=w[u:], cols=u).astype(jnp.bfloat16))
+        else:
+            trunk_w.append(w.astype(jnp.bfloat16))
+            trunk_enc_w.append(None)
         trunk_b.append(layer["bias"][None, :].astype(jnp.float32))
 
-    # sigma + features fused: [fan_in, u + LANE], sigma in column u.
-    w_feat = pack_trunk_reader(params["features"]["kernel"])
-    w_sig = pack_trunk_reader(params["sigma"]["kernel"])
-    w_sf = pad_cols(jnp.concatenate([w_feat, w_sig], axis=1), u + LANE)
+    # sigma + features fused: [fan, u + LANE], sigma in column u.
+    w_feat = params["features"]["kernel"]
+    w_sig = params["sigma"]["kernel"]
+    w_sf_full = jnp.concatenate([w_feat, w_sig], axis=1)  # [fan, u+1]
+    w_sf_full = jnp.pad(w_sf_full, ((0, 0), (0, LANE - 1)))
+    if last_skip:
+        w_sf = w_sf_full[:u]
+        w_sf_enc = enc128_rows(w_x=w_sf_full[u:], cols=u + LANE)
+    else:
+        w_sf = w_sf_full
+        w_sf_enc = None
     b_sf = jnp.concatenate(
         [params["features"]["bias"], params["sigma"]["bias"]])
     b_sf = jnp.pad(b_sf, (0, LANE - 1))
 
-    # rgb_features split into two matmuls (features-part + dir-part) so the
-    # kernel never concatenates along lanes: rf = f @ top + enc_d @ dir + b.
+    # rgb_features: fan is ALWAYS u (features output) + in_d — split into
+    # a trunk-feature matmul and an enc-dir matmul.
+    half = u // 2
     w_rf = params["rgb_features"]["kernel"]
     w_rf_top = w_rf[:u]
-    w_rf_dir = pad_rows(jnp.take(w_rf[u:], perm_d, axis=0), in_d_pad)
+    w_rf_enc = enc128_rows(w_d=w_rf[u:], cols=half)
     b_rf = params["rgb_features"]["bias"]
 
     # rgb: [half, LANE], columns 0..2.
-    w_rgb = pad_cols(params["rgb"]["kernel"], LANE)
+    w_rgb = jnp.pad(params["rgb"]["kernel"], ((0, 0), (0, LANE - 3)))
     b_rgb = jnp.pad(params["rgb"]["bias"], (0, LANE - 3))
 
-    bx, fx, mx = _pe_constants(pos_emb_xyz, in_x_pad)
-    bd, fd, md = _pe_constants(pos_emb_dir, in_d_pad)
-
     return {
-        "bx": bx, "fx": fx, "mx": mx,
-        "bd": bd, "fd": fd, "md": md,
         "trunk_w": trunk_w,
+        "trunk_enc_w": trunk_enc_w,  # None entries for non-enc layers
         "trunk_b": trunk_b,
         "w_sf": w_sf.astype(jnp.bfloat16),
+        "w_sf_enc": (None if w_sf_enc is None
+                     else w_sf_enc.astype(jnp.bfloat16)),
         "b_sf": b_sf[None, :].astype(jnp.float32),
         "w_rf_top": w_rf_top.astype(jnp.bfloat16),
-        "w_rf_dir": w_rf_dir.astype(jnp.bfloat16),
+        "w_rf_enc": w_rf_enc.astype(jnp.bfloat16),
         "b_rf": b_rf[None, :].astype(jnp.float32),
         "w_rgb": w_rgb.astype(jnp.bfloat16),
         "b_rgb": b_rgb[None, :].astype(jnp.float32),
     }
 
 
-def _mlp_core(config: MLPConfig, n_trunk: int, pos_ref, dir_ref, weight_refs):
-    """Shared kernel core: in-kernel PE + trunk + heads over one point tile.
+def _flatten_packed(packed: dict) -> list:
+    """Deterministic operand order for pallas_call (skips None entries)."""
+    out = list(packed["trunk_w"])
+    out += [w for w in packed["trunk_enc_w"] if w is not None]
+    out += list(packed["trunk_b"])
+    out += [packed["w_sf"]]
+    if packed["w_sf_enc"] is not None:
+        out += [packed["w_sf_enc"]]
+    out += [packed["b_sf"], packed["w_rf_top"], packed["w_rf_enc"],
+            packed["b_rf"], packed["w_rgb"], packed["b_rgb"]]
+    return out
 
-    Inputs are RAW ``[T, 8]`` float32 xyz / view-dir tiles (3 lanes used) —
-    the positional encoding happens in VMEM (selection-matrix broadcast +
-    masked sin/cos), so the big ``[P, 64/32]`` encoded tensors never exist in
-    HBM. Lane discipline everywhere: 128-aligned slices, split matmuls
-    instead of lane concats — unaligned small-lane ops were measured to cost
-    more than the whole trunk.
 
-    Returns a [T, 128] float32 tile with sigmoid(rgb) in lanes 0..2 and
-    relu(sigma) rolled into lane 3 (other lanes zero).
-    """
-    trunk_w = weight_refs[:n_trunk]
-    trunk_b = weight_refs[n_trunk:2 * n_trunk]
-    (w_sf, b_sf, w_rf_top, w_rf_dir, b_rf, w_rgb, b_rgb,
-     bx, fx, mx, bd, fd, md) = weight_refs[2 * n_trunk:]
-
+def _unflatten_packed(config: MLPConfig, last_skip: bool, args):
+    """Inverse of :func:`_flatten_packed` over a flat ref/array list."""
+    n = config.n_layers
     skip = set(config.skip_indices())
-    x = _encode_in_kernel(pos_ref[...], bx, fx, mx)
-    enc_d = _encode_in_kernel(dir_ref[...], bd, fd, md)
-    h = x
-    for i in range(n_trunk):
-        acc = jnp.dot(h, trunk_w[i][...],
-                      preferred_element_type=jnp.float32)
-        h = jnp.maximum(acc + trunk_b[i][...], 0.0).astype(jnp.bfloat16)
-        if i in skip:
-            h = jnp.concatenate([h, x], axis=-1)
+    it = iter(args)
+    trunk_w = [next(it) for _ in range(n)]
+    trunk_enc_w = [next(it) if (_layer_uses_enc(i, skip) and i > 0) else None
+                   for i in range(n)]
+    trunk_b = [next(it) for _ in range(n)]
+    w_sf = next(it)
+    w_sf_enc = next(it) if last_skip else None
+    b_sf, w_rf_top, w_rf_enc, b_rf, w_rgb, b_rgb = (
+        next(it), next(it), next(it), next(it), next(it), next(it))
+    rest = list(it)
+    return {
+        "trunk_w": trunk_w, "trunk_enc_w": trunk_enc_w, "trunk_b": trunk_b,
+        "w_sf": w_sf, "w_sf_enc": w_sf_enc, "b_sf": b_sf,
+        "w_rf_top": w_rf_top, "w_rf_enc": w_rf_enc, "b_rf": b_rf,
+        "w_rgb": w_rgb, "b_rgb": b_rgb,
+    }, rest
 
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _forward_core(config: MLPConfig, last_skip: bool, enc, w,
+                  keep_acts: bool = False):
+    """Shared fwd math over one ``[T, 128]`` encoded tile.
+
+    Returns ``(rgb_pre [T, 128] f32, sigma_pre [T, 128] f32 (sigma lane 0),
+    acts)`` where ``acts`` (kept only for the backward) is
+    ``(h_list, features, rf)``.
+    """
     u = config.dense_units
-    sf = (jnp.dot(h, w_sf[...], preferred_element_type=jnp.float32)
-          + b_sf[...])
-    features = sf[:, :u].astype(jnp.bfloat16)       # lane-aligned slice
-    sigma_block = jnp.maximum(sf[:, u:u + LANE], 0.0)  # sigma in lane 0
+    skip = set(config.skip_indices())
 
-    rf = (jnp.dot(features, w_rf_top[...], preferred_element_type=jnp.float32)
-          + jnp.dot(enc_d, w_rf_dir[...],
-                    preferred_element_type=jnp.float32)
-          + b_rf[...]).astype(jnp.bfloat16)
-    rgb_pre = (jnp.dot(rf, w_rgb[...], preferred_element_type=jnp.float32)
-               + b_rgb[...])
+    h = None
+    h_list = []
+    for i in range(config.n_layers):
+        acc = _dot(enc, w["trunk_w"][i][...]) if i == 0 else \
+            _dot(h, w["trunk_w"][i][...])
+        if i > 0 and _layer_uses_enc(i, skip):
+            acc = acc + _dot(enc, w["trunk_enc_w"][i][...])
+        h = jnp.maximum(acc + w["trunk_b"][i][...], 0.0).astype(jnp.bfloat16)
+        if keep_acts:
+            h_list.append(h)
 
+    sf = _dot(h, w["w_sf"][...])
+    if last_skip:
+        sf = sf + _dot(enc, w["w_sf_enc"][...])
+    sf = sf + w["b_sf"][...]
+    features = sf[:, :u].astype(jnp.bfloat16)      # lane-aligned slice
+    sigma_pre = sf[:, u:u + LANE]                  # sigma in lane 0
+
+    rf = (_dot(features, w["w_rf_top"][...])
+          + _dot(enc, w["w_rf_enc"][...])
+          + w["b_rf"][...]).astype(jnp.bfloat16)
+    rgb_pre = _dot(rf, w["w_rgb"][...]) + w["b_rgb"][...]
+
+    acts = (h_list, features, rf) if keep_acts else None
+    return rgb_pre, sigma_pre, acts
+
+
+def _pack_out(rgb_pre, sigma_pre):
+    """[T, 128]: sigmoid(rgb) in lanes 0..2, relu(sigma) in lane 3."""
     lane = jax.lax.broadcasted_iota(jnp.int32, rgb_pre.shape, 1)
-    sigma_in_lane3 = pltpu.roll(sigma_block, 3, axis=1)
+    sigma_in_lane3 = pltpu.roll(jnp.maximum(sigma_pre, 0.0), 3, axis=1)
     return jnp.where(
         lane < 3, jax.nn.sigmoid(rgb_pre),
         jnp.where(lane == 3, sigma_in_lane3, 0.0))
 
 
-def _mlp_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref, *refs):
-    """Point-forward kernel: writes the [T, 128] rgb/sigma tile."""
+def _mlp_fwd_kernel(config: MLPConfig, last_skip: bool, enc_ref, *refs):
     out_ref = refs[-1]
-    out_ref[...] = _mlp_core(config, n_trunk, pos_ref, dir_ref, refs[:-1])
+    w, _ = _unflatten_packed(config, last_skip, refs[:-1])
+    rgb_pre, sigma_pre, _ = _forward_core(config, last_skip, enc_ref[...], w)
+    out_ref[...] = _pack_out(rgb_pre, sigma_pre)
 
 
 def _default_interpret() -> bool:
@@ -275,60 +322,41 @@ def _default_interpret() -> bool:
     return platform not in ("tpu", "axon")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "tile", "interpret"),
-)
+def _const_spec(a):
+    return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "tile", "interpret"))
 def fused_apply_mlp(
     packed: dict,
-    positions: jnp.ndarray,
-    directions: jnp.ndarray,
+    enc128: jnp.ndarray,
     config: MLPConfig,
-    tile: int = 1024,
+    tile: int = 2048,
     interpret: bool | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused PE + MLP over points: ``(positions [P, 3] f32, directions
-    [P, 3] f32) -> (rgb [P, 3] f32, sigma [P, 1] f32)``.
+) -> jnp.ndarray:
+    """Fused MLP over pre-encoded points: ``enc128 [P, 128] bf16 ->
+    [P, 128] f32`` with sigmoid(rgb) in lanes 0..2, relu(sigma) in lane 3.
 
-    ``P`` is padded up to a tile multiple internally; the 3-lane inputs are
-    padded to 8 lanes for sublane alignment.
+    ``P`` is padded up to a tile multiple internally.
     """
     if interpret is None:
         interpret = _default_interpret()
-    p = positions.shape[0]
+    p = enc128.shape[0]
     tile = min(tile, _round_up(p, 8))
     p_pad = _round_up(p, tile)
-    positions = jnp.pad(
-        positions.astype(jnp.float32),
-        ((0, p_pad - p), (0, 8 - positions.shape[1])))
-    directions = jnp.pad(
-        directions.astype(jnp.float32),
-        ((0, p_pad - p), (0, 8 - directions.shape[1])))
+    enc128 = jnp.pad(enc128, ((0, p_pad - p), (0, 0)))
 
-    n_trunk = len(packed["trunk_w"])
-    weight_args = (
-        list(packed["trunk_w"]) + list(packed["trunk_b"])
-        + [packed["w_sf"], packed["b_sf"], packed["w_rf_top"],
-           packed["w_rf_dir"], packed["b_rf"],
-           packed["w_rgb"], packed["b_rgb"],
-           packed["bx"], packed["fx"], packed["mx"],
-           packed["bd"], packed["fd"], packed["md"]]
-    )
-
-    def const_spec(a):
-        return pl.BlockSpec(
-            a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
-
+    last_skip = (config.n_layers - 1) in set(config.skip_indices())
+    weight_args = _flatten_packed(packed)
     grid = p_pad // tile
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, config, n_trunk),
+        functools.partial(_mlp_fwd_kernel, config, last_skip),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            *[const_spec(a) for a in weight_args],
+            *[_const_spec(a) for a in weight_args],
         ],
         out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -336,46 +364,8 @@ def fused_apply_mlp(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(positions, directions, *weight_args)
-
-    out = out[:p]
-    return out[:, :3], out[:, 3:4]
-
-
-def fused_render_chunk(
-    packed: dict,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
-    points: jnp.ndarray,
-    config,
-    tile: int = 1024,
-    interpret: bool | None = None,
-) -> RenderOutput:
-    """Encode -> fused MLP -> volume render for one chunk of rays.
-
-    Drop-in equivalent of the no-gradient path of
-    :func:`keras_nerf_tpu.models.engine.render_chunk` (same outputs up to
-    bf16 matmul rounding), with the MLP fused in VMEM.
-
-    Args:
-      packed: output of :func:`pack_mlp_params`.
-      origin/direction: ``[R, 3]``; points: ``[R, S]`` sorted depths.
-      config: a :class:`keras_nerf_tpu.models.engine.NeRFConfig`.
-    """
-    r, s = points.shape
-    positions = (origin[..., None, :]
-                 + direction[..., None, :] * points[..., None])
-    dirs = jnp.broadcast_to(direction[:, None, :], (r, s, 3))
-
-    rgb, sigma = fused_apply_mlp(
-        packed, positions.reshape(r * s, 3), dirs.reshape(r * s, 3),
-        config.mlp, tile=tile, interpret=interpret)
-    return render_rays(
-        rgb.reshape(r, s, 3).astype(jnp.float32),
-        sigma.reshape(r, s),
-        points,
-        white_background=config.white_background,
-    )
+    )(enc128, *weight_args)
+    return out[:p]
 
 
 # ---------------------------------------------------------------------------
@@ -400,32 +390,26 @@ def _acc_out(ref, value):
         ref[...] = ref[...] + value
 
 
-def _mlp_bwd_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref,
-                    g_ref, *refs):
+def _mlp_bwd_kernel(config: MLPConfig, last_skip: bool, enc_ref, g_ref,
+                    *refs):
     """Backward kernel: recompute the forward per tile entirely in VMEM,
-    then backprop the heads + trunk, accumulating weight/bias gradients
-    across the grid (flash-attention-style recompute — no activation ever
-    round-trips HBM).
-
-    Inputs: raw [T, 8] positions/dirs and [T, 8] cotangents (lanes 0..2 =
-    d rgb, lane 3 = d sigma). Outputs: gradients for every packed weight /
-    bias, grid-accumulated. Gradients w.r.t. positions/directions are NOT
-    produced (they are data in this framework; the caller returns zeros).
+    then backprop heads + trunk, accumulating weight/bias gradients across
+    the grid. Inputs: the encoded tile and a [T, 128] cotangent tile (lanes
+    0..2 = d rgb, lane 3 = d sigma). Gradients w.r.t. the encoded input are
+    NOT produced (positions/directions are data in this framework).
     """
-    n_out = 2 * n_trunk + 7
-    out_refs = refs[-n_out:]
-    trunk_w = refs[:n_trunk]
-    trunk_b = refs[n_trunk:2 * n_trunk]
-    (w_sf, b_sf, w_rf_top, w_rf_dir, b_rf, w_rgb, b_rgb,
-     bx, fx, mx, bd, fd, md, g_expand) = refs[2 * n_trunk:-n_out]
-
-    d_trunk_w = out_refs[:n_trunk]
-    d_trunk_b = out_refs[n_trunk:2 * n_trunk]
-    (d_w_sf, d_b_sf, d_w_rf_top, d_w_rf_dir, d_b_rf, d_w_rgb,
-     d_b_rgb) = out_refs[2 * n_trunk:]
-
     u = config.dense_units
     skip = set(config.skip_indices())
+    n = config.n_layers
+
+    # Split refs: weights first (same count as _flatten_packed), then the
+    # same-structured gradient outputs.
+    n_enc = sum(1 for i in range(n) if i > 0 and _layer_uses_enc(i, skip))
+    n_weights = (2 * n + n_enc + 7 + (1 if last_skip else 0))
+    w, _ = _unflatten_packed(config, last_skip, refs[:n_weights])
+    d, _ = _unflatten_packed(config, last_skip, refs[n_weights:])
+
+    enc = enc_ref[...]
 
     def rowsum(x):
         return jnp.sum(x, axis=0, keepdims=True)
@@ -435,42 +419,18 @@ def _mlp_bwd_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref,
             a, g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def dX(g, w):  # g @ w^T contracting the feature axis
+    def dX(g, ww):  # g @ ww^T contracting the feature axis
         return jax.lax.dot_general(
-            g, w, (((1,), (1,)), ((), ())),
+            g, ww, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # ---- forward recompute, keeping every trunk layer's input -------------
-    x = _encode_in_kernel(pos_ref[...], bx, fx, mx)
-    enc_d = _encode_in_kernel(dir_ref[...], bd, fd, md)
-    acts = [x]
-    h = x
-    for i in range(n_trunk):
-        acc = jnp.dot(h, trunk_w[i][...],
-                      preferred_element_type=jnp.float32)
-        h = jnp.maximum(acc + trunk_b[i][...], 0.0).astype(jnp.bfloat16)
-        if i in skip:
-            h = jnp.concatenate([h, x], axis=-1)
-        acts.append(h)
-
-    h_last = acts[n_trunk]
-    sf = (jnp.dot(h_last, w_sf[...], preferred_element_type=jnp.float32)
-          + b_sf[...])
-    features = sf[:, :u].astype(jnp.bfloat16)
-    sigma_pre_block = sf[:, u:u + LANE]
-    rf = (jnp.dot(features, w_rf_top[...], preferred_element_type=jnp.float32)
-          + jnp.dot(enc_d, w_rf_dir[...],
-                    preferred_element_type=jnp.float32)
-          + b_rf[...]).astype(jnp.bfloat16)
-    rgb_pre = (jnp.dot(rf, w_rgb[...], preferred_element_type=jnp.float32)
-               + b_rgb[...])
+    # ---- forward recompute, keeping every trunk activation ---------------
+    rgb_pre, sigma_pre, (h_list, features, rf) = _forward_core(
+        config, last_skip, enc, w, keep_acts=True)
     rgb = jax.nn.sigmoid(rgb_pre)
 
     # ---- head backward ----------------------------------------------------
-    # Cotangents arrive as [T, 8] (lanes 0..2 rgb, lane 3 sigma); expand to
-    # 128 lanes with a selection matmul to keep everything lane-aligned.
-    g128 = jnp.dot(g_ref[...], g_expand[...],
-                   preferred_element_type=jnp.float32)  # [T, 128]
+    g128 = g_ref[...].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, g128.shape, 1)
     g_rgb = jnp.where(lane < 3, g128, 0.0)
     # Circular roll by LANE - 3 moves lane 3 -> lane 0 (negative shifts are
@@ -478,187 +438,142 @@ def _mlp_bwd_kernel(config: MLPConfig, n_trunk: int, pos_ref, dir_ref,
     g_sigma = pltpu.roll(jnp.where(lane == 3, g128, 0.0), LANE - 3, axis=1)
 
     d_rgb_pre = (g_rgb * rgb * (1.0 - rgb)).astype(jnp.bfloat16)
-    _acc_out(d_w_rgb, dW(rf, d_rgb_pre))
-    _acc_out(d_b_rgb, rowsum(d_rgb_pre.astype(jnp.float32)))
+    _acc_out(d["w_rgb"], dW(rf, d_rgb_pre))
+    _acc_out(d["b_rgb"], rowsum(d_rgb_pre.astype(jnp.float32)))
 
-    d_rf = dX(d_rgb_pre, w_rgb[...]).astype(jnp.bfloat16)  # linear rf head
-    _acc_out(d_w_rf_top, dW(features, d_rf))
-    _acc_out(d_w_rf_dir, dW(enc_d, d_rf))
-    _acc_out(d_b_rf, rowsum(d_rf.astype(jnp.float32)))
+    d_rf = dX(d_rgb_pre, w["w_rgb"][...]).astype(jnp.bfloat16)
+    _acc_out(d["w_rf_top"], dW(features, d_rf))
+    _acc_out(d["w_rf_enc"], dW(enc, d_rf))
+    _acc_out(d["b_rf"], rowsum(d_rf.astype(jnp.float32)))
 
-    d_features = dX(d_rf, w_rf_top[...])                   # [T, u] f32
-    d_sigma_pre = g_sigma * (sigma_pre_block > 0.0)        # relu'
-    d_sf = jnp.concatenate(
-        [d_features, d_sigma_pre], axis=-1).astype(jnp.bfloat16)  # [T, u+128]
-    _acc_out(d_w_sf, dW(h_last, d_sf))
-    _acc_out(d_b_sf, rowsum(d_sf.astype(jnp.float32)))
+    d_features = dX(d_rf, w["w_rf_top"][...]).astype(jnp.bfloat16)  # [T, u]
+    d_sigma_pre = (g_sigma * (sigma_pre > 0.0)).astype(jnp.bfloat16)  # relu'
+    # The sf head's cotangent is [d_features | d_sigma] along lanes; split
+    # every consumer into two matmuls instead of materializing the concat
+    # (w_sf columns are lane-aligned at u).
+    _acc_out(d["w_sf"], jnp.concatenate(
+        [dW(h_list[-1], d_features), dW(h_list[-1], d_sigma_pre)], axis=1))
+    if last_skip:
+        _acc_out(d["w_sf_enc"], jnp.concatenate(
+            [dW(enc, d_features), dW(enc, d_sigma_pre)], axis=1))
+    _acc_out(d["b_sf"], jnp.concatenate(
+        [rowsum(d_features.astype(jnp.float32)),
+         rowsum(d_sigma_pre.astype(jnp.float32))], axis=1))
 
-    d_h = dX(d_sf, w_sf[...])                              # [T, fan_last] f32
+    u_lanes = config.dense_units
+    d_h = (dX(d_features, w["w_sf"][:, :u_lanes])
+           + dX(d_sigma_pre, w["w_sf"][:, u_lanes:]))       # [T, u] f32
 
     # ---- trunk backward ---------------------------------------------------
-    for i in reversed(range(n_trunk)):
-        if i in skip:
-            # acts[i+1] = concat([relu_out, x]); the x-branch cotangent is
-            # dropped (positions carry no parameters).
-            d_h = d_h[:, :u]
-            a_out = acts[i + 1][:, :u]
-        else:
-            a_out = acts[i + 1]
+    for i in reversed(range(n)):
         # Mask compare in f32 — v5e Mosaic rejects bf16 comparisons.
-        d_pre = (d_h * (a_out.astype(jnp.float32) > 0.0)).astype(jnp.bfloat16)
-        _acc_out(d_trunk_w[i], dW(acts[i], d_pre))
-        _acc_out(d_trunk_b[i], rowsum(d_pre.astype(jnp.float32)))
+        d_pre = (d_h * (h_list[i].astype(jnp.float32) > 0.0)
+                 ).astype(jnp.bfloat16)
+        a_in = enc if i == 0 else h_list[i - 1]
+        _acc_out(d["trunk_w"][i], dW(a_in, d_pre))
+        if i > 0 and _layer_uses_enc(i, skip):
+            _acc_out(d["trunk_enc_w"][i], dW(enc, d_pre))
+        _acc_out(d["trunk_b"][i], rowsum(d_pre.astype(jnp.float32)))
         if i > 0:
-            d_h = dX(d_pre, trunk_w[i][...])
+            d_h = dX(d_pre, w["trunk_w"][i][...])
 
 
-def _g_expand_matrix() -> jnp.ndarray:
-    """[8, 128] selection matrix: lanes 0..3 of the small cotangent tile map
-    to lanes 0..3 of the 128-lane working tile."""
-    m = np.zeros((8, LANE), np.float32)
-    for i in range(4):
-        m[i, i] = 1.0
-    return jnp.asarray(m)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "tile", "interpret"),
-)
+@functools.partial(jax.jit, static_argnames=("config", "tile", "interpret"))
 def fused_mlp_backward(
     packed: dict,
-    positions: jnp.ndarray,
-    directions: jnp.ndarray,
-    g_rgb: jnp.ndarray,
-    g_sigma: jnp.ndarray,
+    enc128: jnp.ndarray,
+    g128: jnp.ndarray,
     config: MLPConfig,
-    tile: int = 512,
+    tile: int = 1024,
     interpret: bool | None = None,
 ) -> dict:
     """Run the backward kernel; returns packed-layout gradient arrays."""
     if interpret is None:
         interpret = _default_interpret()
-    p = positions.shape[0]
+    p = enc128.shape[0]
     tile = min(tile, _round_up(p, 8))
     p_pad = _round_up(p, tile)
+    # Pad points carry zero cotangents, so they contribute nothing to dW.
+    enc128 = jnp.pad(enc128, ((0, p_pad - p), (0, 0)))
+    g128 = jnp.pad(g128, ((0, p_pad - p), (0, 0)))
 
-    def pad8(a):
-        return jnp.pad(a.astype(jnp.float32),
-                       ((0, p_pad - p), (0, 8 - a.shape[1])))
-
-    positions = pad8(positions)
-    directions = pad8(directions)
-    # Cotangent tile: [P, 8] with rgb in lanes 0..2, sigma in lane 3. Pad
-    # points carry zero cotangents, so they contribute nothing to dW.
-    g8 = pad8(jnp.concatenate([g_rgb, g_sigma], axis=1))
-
-    n_trunk = len(packed["trunk_w"])
-    weight_args = (
-        list(packed["trunk_w"]) + list(packed["trunk_b"])
-        + [packed["w_sf"], packed["b_sf"], packed["w_rf_top"],
-           packed["w_rf_dir"], packed["b_rf"],
-           packed["w_rgb"], packed["b_rgb"],
-           packed["bx"], packed["fx"], packed["mx"],
-           packed["bd"], packed["fd"], packed["md"],
-           _g_expand_matrix()]
-    )
-
-    def const_spec(a):
-        return pl.BlockSpec(
-            a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
-
-    out_shapes = (
-        [jax.ShapeDtypeStruct(w.shape, jnp.float32)
-         for w in packed["trunk_w"]]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
-           for b in packed["trunk_b"]]
-        + [jax.ShapeDtypeStruct(packed[k].shape, jnp.float32)
-           for k in ("w_sf", "b_sf", "w_rf_top", "w_rf_dir", "b_rf",
-                     "w_rgb", "b_rgb")]
-    )
-    out_specs = [
-        pl.BlockSpec(s.shape, lambda i: (0,) * len(s.shape),
-                     memory_space=pltpu.VMEM)
-        for s in out_shapes
-    ]
+    last_skip = (config.n_layers - 1) in set(config.skip_indices())
+    weight_args = _flatten_packed(packed)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in weight_args)
+    out_specs = tuple(_const_spec(s) for s in out_shapes)
 
     grid = p_pad // tile
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, config, n_trunk),
+        functools.partial(_mlp_bwd_kernel, config, last_skip),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            *[const_spec(a) for a in weight_args],
+            *[_const_spec(a) for a in weight_args],
         ],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(positions, directions, g8, *weight_args)
+    )(enc128, g128, *weight_args)
 
-    return {
-        "trunk_w": list(outs[:n_trunk]),
-        "trunk_b": list(outs[n_trunk:2 * n_trunk]),
-        "w_sf": outs[2 * n_trunk],
-        "b_sf": outs[2 * n_trunk + 1],
-        "w_rf_top": outs[2 * n_trunk + 2],
-        "w_rf_dir": outs[2 * n_trunk + 3],
-        "b_rf": outs[2 * n_trunk + 4],
-        "w_rgb": outs[2 * n_trunk + 5],
-        "b_rgb": outs[2 * n_trunk + 6],
-    }
+    d_packed, _ = _unflatten_packed(config, last_skip, list(outs))
+    return d_packed
 
 
 def unpack_grads(d_packed: dict, config: MLPConfig, pos_emb_xyz: int,
                  pos_emb_dir: int) -> dict:
-    """Invert :func:`pack_mlp_params` on gradient arrays -> reference-layout
-    param-pytree cotangents (drop pad rows/cols, inverse row permutations)."""
+    """Packed-layout gradient arrays -> reference-layout param pytree."""
     u = config.dense_units
     in_x = encoded_dim(3, pos_emb_xyz)
     in_d = encoded_dim(3, pos_emb_dir)
-    perm_x = np.asarray(block_permutation(3, pos_emb_xyz))
-    perm_d = np.asarray(block_permutation(3, pos_emb_dir))
-    inv_x = np.argsort(perm_x)
-    inv_d = np.argsort(perm_d)
+    inv_x = np.argsort(np.asarray(block_permutation(3, pos_emb_xyz)))
+    inv_d = np.argsort(np.asarray(block_permutation(3, pos_emb_dir)))
     skip = set(config.skip_indices())
+    n = config.n_layers
+    last_skip = (n - 1) in skip
 
-    def unpack_enc_rows(w, inv, n):
-        return jnp.take(w[:n], inv, axis=0)
+    def unpack_xyz(rows128):
+        return jnp.take(rows128[ENC_XYZ_OFF:ENC_XYZ_OFF + in_x], inv_x,
+                        axis=0)
 
-    def unpack_trunk_reader(w):
-        """Inverse of pack_trunk_reader for wide (post-skip) fan-ins."""
-        if w.shape[0] == u:
-            return w
-        return jnp.concatenate(
-            [w[:u], unpack_enc_rows(w[u:], inv_x, in_x)], axis=0)
+    def unpack_dir(rows128):
+        return jnp.take(rows128[ENC_DIR_OFF:ENC_DIR_OFF + in_d], inv_d,
+                        axis=0)
 
-    n_trunk = len(d_packed["trunk_w"])
     trunk = []
-    for i in range(n_trunk):
-        w = d_packed["trunk_w"][i]
+    for i in range(n):
         if i == 0:
-            w = unpack_enc_rows(w, inv_x, in_x)
+            kernel = unpack_xyz(d_packed["trunk_w"][0])
         elif (i - 1) in skip:
-            w = unpack_trunk_reader(w)
-        trunk.append({"kernel": w, "bias": d_packed["trunk_b"][i][0]})
+            kernel = jnp.concatenate(
+                [d_packed["trunk_w"][i],
+                 unpack_xyz(d_packed["trunk_enc_w"][i])], axis=0)
+        else:
+            kernel = d_packed["trunk_w"][i]
+        trunk.append({"kernel": kernel, "bias": d_packed["trunk_b"][i][0]})
 
-    w_sf = unpack_trunk_reader(d_packed["w_sf"])
+    d_sf = d_packed["w_sf"]
+    if last_skip:
+        d_sf = jnp.concatenate([d_sf, unpack_xyz(d_packed["w_sf_enc"])],
+                               axis=0)
+    features_kernel = d_sf[:, :u]
+    sigma_kernel = d_sf[:, u:u + 1]
     b_sf = d_packed["b_sf"][0]
-    w_rf = jnp.concatenate(
-        [d_packed["w_rf_top"],
-         unpack_enc_rows(d_packed["w_rf_dir"], inv_d, in_d)], axis=0)
+
+    rgb_features_kernel = jnp.concatenate(
+        [d_packed["w_rf_top"], unpack_dir(d_packed["w_rf_enc"])], axis=0)
 
     return {
         "trunk": trunk,
-        "features": {"kernel": w_sf[:, :u], "bias": b_sf[:u]},
-        "sigma": {"kernel": w_sf[:, u:u + 1], "bias": b_sf[u:u + 1]},
-        "rgb_features": {"kernel": w_rf, "bias": d_packed["b_rf"][0]},
+        "sigma": {"kernel": sigma_kernel, "bias": b_sf[u:u + 1]},
+        "features": {"kernel": features_kernel, "bias": b_sf[:u]},
+        "rgb_features": {"kernel": rgb_features_kernel,
+                         "bias": d_packed["b_rf"][0]},
         "rgb": {"kernel": d_packed["w_rgb"][:, :3],
                 "bias": d_packed["b_rgb"][0, :3]},
     }
@@ -667,203 +582,86 @@ def unpack_grads(d_packed: dict, config: MLPConfig, pos_emb_xyz: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_point_forward(params, positions, directions, config: MLPConfig,
                         pos_emb_xyz: int, pos_emb_dir: int,
-                        tile: int = 1024, interpret: bool | None = None):
-    """Differentiable fused PE+MLP over points.
+                        tile: int = 2048, interpret: bool | None = None):
+    """Differentiable fused PE + MLP over points.
 
-    ``(params pytree, positions [P, 3], directions [P, 3]) ->
-    (rgb [P, 3], sigma [P, 1])`` — forward AND backward run as Pallas
-    kernels (backward recomputes the forward per tile in VMEM and emits
-    weight/bias gradients directly).
-
-    NOTE: cotangents w.r.t. positions/directions are returned as ZEROS —
-    in this framework sample positions are data (the fine-sampling path is
-    behind stop_gradient, `models/engine.py`), so no parameter gradient
-    flows through them. Do not use this op where input gradients matter.
+    ``(params, positions [P, 3] f32, directions [P, 3] f32) ->
+    (rgb [P, 3] f32, sigma [P, 1] f32)`` — the fused equivalent of
+    ``apply_mlp(params, *encode(...))`` (`mlp.py:29-50`). The custom VJP
+    runs the recompute backward kernel for the parameter gradients;
+    positions/directions are treated as data (zero cotangents) — in the
+    engine they are sampled depths under stop_gradient.
     """
+    enc = encode_block128(positions, directions, pos_emb_xyz, pos_emb_dir)
     packed = pack_mlp_params(params, config, pos_emb_xyz, pos_emb_dir)
-    return fused_apply_mlp(packed, positions, directions, config,
-                           tile=tile, interpret=interpret)
+    out = fused_apply_mlp(packed, enc, config, tile=tile,
+                          interpret=interpret)
+    return out[:, :3], out[:, 3:4]
 
 
 def _fpf_fwd(params, positions, directions, config, pos_emb_xyz,
              pos_emb_dir, tile, interpret):
-    out = fused_point_forward(params, positions, directions, config,
-                              pos_emb_xyz, pos_emb_dir, tile, interpret)
-    return out, (params, positions, directions)
-
-
-def _fpf_bwd(config, pos_emb_xyz, pos_emb_dir, tile, interpret,
-             residuals, cotangents):
-    params, positions, directions = residuals
-    g_rgb, g_sigma = cotangents
+    enc = encode_block128(positions, directions, pos_emb_xyz, pos_emb_dir)
     packed = pack_mlp_params(params, config, pos_emb_xyz, pos_emb_dir)
-    d_packed = fused_mlp_backward(
-        packed, positions, directions, g_rgb, g_sigma, config,
-        tile=min(tile, 512), interpret=interpret)
+    out = fused_apply_mlp(packed, enc, config, tile=tile,
+                          interpret=interpret)
+    return (out[:, :3], out[:, 3:4]), (params, enc)
+
+
+def _fpf_bwd(config, pos_emb_xyz, pos_emb_dir, tile, interpret, res, g):
+    params, enc = res
+    g_rgb, g_sigma = g
+    # Cotangent tile: lanes 0..2 rgb, lane 3 sigma (bf16 — the same
+    # precision XLA's bf16 backward matmuls see).
+    g128 = jnp.pad(
+        jnp.concatenate([g_rgb, g_sigma], axis=1),
+        ((0, 0), (0, LANE - 4))).astype(jnp.bfloat16)
+    packed = pack_mlp_params(params, config, pos_emb_xyz, pos_emb_dir)
+    # The backward tile is smaller than the forward's: the recompute keeps
+    # every trunk activation live in VMEM.
+    d_packed = fused_mlp_backward(packed, enc, g128, config,
+                                  tile=min(tile, 1024), interpret=interpret)
     d_params = unpack_grads(d_packed, config, pos_emb_xyz, pos_emb_dir)
-    return (d_params, jnp.zeros_like(positions), jnp.zeros_like(directions))
+    p = enc.shape[0]
+    return (d_params, jnp.zeros((p, 3), jnp.float32),
+            jnp.zeros((p, 3), jnp.float32))
 
 
 fused_point_forward.defvjp(_fpf_fwd, _fpf_bwd)
 
 
-# ---------------------------------------------------------------------------
-# v3: full ray-march kernel — PE + MLP + volume quadrature all in VMEM.
-# ---------------------------------------------------------------------------
-
-def _ray_march_kernel(config, n_trunk: int, r_tile: int, s: int,
-                      pos_ref, dir_ref, t_ref, *refs):
-    """Per-ray-tile kernel: the MLP core over the tile's R_TILE*S points,
-    then the whole volume-rendering quadrature without leaving VMEM.
-
-    Layout strategy: the point tile [M=R_TILE*S, 128] is reshaped to
-    [R_TILE, S, 128] (a SUBLANE split — free), so the per-ray sample axis is
-    the middle dimension. Depths arrive as a [M, 8] tile (lane 0) and are
-    broadcast to all 128 lanes with one tiny matmul; sigma (lane 3 of the
-    MLP output) is broadcast across lanes the same way. Quadrature is then
-    pure lane-parallel VPU work: alpha, an exclusive cumprod via
-    log-cumsum-exp along the sample axis, weighted sums.
-
-    Outputs per ray: ``ray_out [R_TILE, 128]`` (lanes 0..2 image, lane 3
-    depth, lane 4 weight-sum) and ``weights [R_TILE, S]``.
-    """
-    out_ray_ref, out_w_ref = refs[-2], refs[-1]
-    ones_sel = refs[-3]   # [8, 128] row 0 = 1: broadcast lane 0 -> all lanes
-    e3_sel = refs[-4]     # [128, 128] row 3 = 1: broadcast lane 3 -> all
-    weight_refs = refs[:-4]
-
-    y = _mlp_core(config.mlp, n_trunk, pos_ref, dir_ref,
-                  weight_refs)  # [M, 128]
-    t128 = jnp.dot(t_ref[...], ones_sel[...],
-                   preferred_element_type=jnp.float32)             # [M, 128]
-
-    y3 = y.reshape(r_tile, s, LANE)
-    t3 = t128.reshape(r_tile, s, LANE)
-
-    eps = 1e-10
-    delta = jnp.concatenate(
-        [t3[:, 1:, :] - t3[:, :-1, :],
-         jnp.full((r_tile, 1, LANE), eps, jnp.float32)], axis=1)
-
-    # sigma (lane 3) broadcast across lanes via batched matmul on lanes.
-    sigma_all = jax.lax.dot_general(
-        y3, e3_sel[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    alpha = 1.0 - jnp.exp(-sigma_all * delta)
-    logu = jnp.log(1.0 - alpha + eps)
-    # Inclusive prefix sum along the sample axis as a Hillis-Steele scan
-    # (log2(S) shifted adds) — Pallas TPU has no cumsum lowering.
-    cum = logu
-    shift = 1
-    while shift < s:
-        pad = jnp.zeros((r_tile, shift, LANE), jnp.float32)
-        cum = cum + jnp.concatenate([pad, cum[:, :-shift, :]], axis=1)
-        shift *= 2
-    trans = jnp.exp(cum - logu)          # exclusive cumprod
-    w = alpha * trans                    # [R_TILE, S, 128]
-
-    image = jnp.sum(w * y3, axis=1)      # lanes 0..2 valid
-    depth = jnp.sum(w * t3, axis=1)      # all lanes equal
-    wsum = jnp.sum(w, axis=1)            # all lanes equal
-
-    if config.white_background:
-        image = image + (1.0 - wsum)
-    image = jnp.clip(image, 0.0, 1.0)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, image.shape, 1)
-    out = jnp.where(lane < 3, image,
-                    jnp.where(lane == 3, depth,
-                              jnp.where(lane == 4, wsum, 0.0)))
-    out_ray_ref[...] = out
-    # weights: take lane 0 of w -> [R_TILE, S] (relayout handled by Mosaic).
-    out_w_ref[...] = w[:, :, 0]
-
-
-def fused_ray_march(
+def fused_render_chunk(
     packed: dict,
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     points: jnp.ndarray,
     config,
-    r_tile: int = 16,
+    tile: int = 2048,
     interpret: bool | None = None,
 ) -> RenderOutput:
-    """v3 fully fused render: PE + MLP + quadrature in one kernel.
+    """Encode -> fused MLP -> volume render for one chunk of rays
+    (no-gradient path; pre-packed weights).
 
-    ``origin/direction [R, 3]``, ``points [R, S]`` sorted -> RenderOutput.
-    Per-ray samples never leave VMEM; HBM sees [R*S, 8] inputs and per-ray
-    outputs only.
+    Drop-in equivalent of the no-gradient path of
+    :func:`keras_nerf_tpu.models.engine.render_chunk` (same outputs up to
+    bf16 matmul rounding), with the MLP fused in VMEM.
+
+    Args:
+      packed: output of :func:`pack_mlp_params`.
+      origin/direction: ``[R, 3]``; points: ``[R, S]`` sorted depths.
+      config: a :class:`keras_nerf_tpu.models.engine.NeRFConfig`.
     """
-    if interpret is None:
-        interpret = _default_interpret()
     r, s = points.shape
-    if r % r_tile:
-        raise ValueError(f"rays {r} must be a multiple of r_tile {r_tile}")
-    m_tile = r_tile * s
-    p = r * s
-
     positions = (origin[..., None, :]
                  + direction[..., None, :] * points[..., None])
     dirs = jnp.broadcast_to(direction[:, None, :], (r, s, 3))
-
-    def pad8(a):
-        a = a.reshape(p, -1).astype(jnp.float32)
-        return jnp.pad(a, ((0, 0), (0, 8 - a.shape[1])))
-
-    pos8 = pad8(positions)
-    dir8 = pad8(dirs)
-    t8 = pad8(points[..., None])
-
-    n_trunk = len(packed["trunk_w"])
-    weight_args = (
-        list(packed["trunk_w"]) + list(packed["trunk_b"])
-        + [packed["w_sf"], packed["b_sf"], packed["w_rf_top"],
-           packed["w_rf_dir"], packed["b_rf"],
-           packed["w_rgb"], packed["b_rgb"],
-           packed["bx"], packed["fx"], packed["mx"],
-           packed["bd"], packed["fd"], packed["md"]]
-    )
-    e3 = np.zeros((LANE, LANE), np.float32)
-    e3[3, :] = 1.0
-    ones_sel = np.zeros((8, LANE), np.float32)
-    ones_sel[0, :] = 1.0
-
-    def const_spec(a):
-        return pl.BlockSpec(
-            a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
-
-    grid = r // r_tile
-    point_spec = pl.BlockSpec((m_tile, 8), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
-    ray_out, w_out = pl.pallas_call(
-        functools.partial(_ray_march_kernel, config, n_trunk, r_tile, s),
-        grid=(grid,),
-        in_specs=[
-            point_spec, point_spec, point_spec,
-            *[const_spec(a) for a in weight_args],
-            const_spec(e3), const_spec(ones_sel),
-        ],
-        out_specs=(
-            pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, s), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((r, s), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # The quadrature's [r_tile, S, 128] fp32 intermediates exceed the
-            # conservative 16 MB scoped default; v5e has headroom above it.
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(pos8, dir8, t8, *weight_args, jnp.asarray(e3), jnp.asarray(ones_sel))
-
-    return RenderOutput(
-        image=ray_out[:, :3],
-        depth=ray_out[:, 3],
-        weights=w_out,
+    enc = encode_block128(positions.reshape(r * s, 3), dirs.reshape(r * s, 3),
+                          config.pos_emb_xyz, config.pos_emb_dir)
+    out = fused_apply_mlp(packed, enc, config.mlp, tile=tile,
+                          interpret=interpret)
+    return render_rays(
+        out[:, :3].reshape(r, s, 3),
+        out[:, 3].reshape(r, s),
+        points,
+        white_background=config.white_background,
     )

@@ -180,31 +180,40 @@ def test_train_step_with_use_pallas_learns(cfg):
     assert np.isfinite(losses).all()
 
 
-def test_fused_ray_march_matches_render_chunk():
-    """v3 (quadrature in-kernel) matches the engine render within the bf16 +
-    log-space-cumprod budget."""
-    from keras_nerf_tpu.kernels.ray_march import fused_ray_march
+def test_fused_backward_last_layer_skip():
+    """Architectures whose LAST trunk layer is a skip layer route the
+    encoded input into the heads (w_sf_enc path); gradients must still
+    match XLA autodiff."""
+    from keras_nerf_tpu.kernels import fused_point_forward
+    from keras_nerf_tpu.models.mlp import apply_mlp
+    from keras_nerf_tpu.ops.encoding import positional_encoding
 
-    rcfg = NeRFConfig(n_coarse=12, n_fine=0, white_background=True,
-                      compute_dtype="bfloat16")
-    params, _ = engine.init_params(jax.random.PRNGKey(0), rcfg)
-    packed = pack_mlp_params(params, rcfg.mlp, rcfg.pos_emb_xyz,
-                             rcfg.pos_emb_dir)
-    r, s = 32, 12
-    key = jax.random.PRNGKey(1)
-    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
-    d = jax.random.normal(key, (r, 3))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    t = jnp.sort(jax.random.uniform(key, (r, s), minval=2.0, maxval=6.0), -1)
+    cfg = NeRFConfig(n_layers=2, dense_units=256, skip_layer=1)
+    params, _ = engine.init_params(jax.random.PRNGKey(0), cfg)
+    p = 64
+    pos = jax.random.normal(jax.random.PRNGKey(1), (p, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (p, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    out = fused_ray_march(packed, o, d, t, rcfg, r_tile=16, interpret=True)
-    ref, _ = engine.render_chunk(params, o, d, t, key, rcfg)
-    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref.image),
-                               atol=0.01)
-    np.testing.assert_allclose(np.asarray(out.weights),
-                               np.asarray(ref.weights), atol=0.005)
-    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
-                               atol=0.02)
+    def xla_loss(prm):
+        ex = positional_encoding(pos, 10)
+        ed = positional_encoding(dirs, 4)
+        rgb, sg = apply_mlp(prm, ex, ed, cfg.mlp, jnp.bfloat16)
+        return jnp.sum(rgb * jnp.arange(3)) + 0.5 * jnp.sum(sg ** 2)
+
+    def fused_loss(prm):
+        rgb, sg = fused_point_forward(prm, pos, dirs, cfg.mlp, 10, 4, 64,
+                                      True)
+        return jnp.sum(rgb * jnp.arange(3)) + 0.5 * jnp.sum(sg ** 2)
+
+    g_xla = jax.grad(xla_loss)(params)
+    g_fused = jax.grad(fused_loss)(params)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_xla),
+            jax.tree_util.tree_leaves_with_path(g_fused)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+        assert rel < 0.05, (jax.tree_util.keystr(path), rel)
 
 
 def test_pack_rejects_unaligned_width():
