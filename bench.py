@@ -44,7 +44,8 @@ def bench_train(args):
     config = NeRFConfig(
         n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
         white_background=True,
-        compute_dtype="float32" if args.fp32 else "bfloat16")
+        compute_dtype="float32" if args.fp32 else "bfloat16",
+        use_pallas=False if args.xla else None)
     optimizer = engine.make_optimizer("adam", 1e-3)
     state = engine.init_train_state(jax.random.PRNGKey(0), config, optimizer)
     batch = make_batch(args.batch_size, args.img_wh, args.img_wh,
@@ -87,16 +88,19 @@ def bench_render(args):
     config = NeRFConfig(
         n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
         white_background=True,
-        compute_dtype="float32" if args.fp32 else "bfloat16")
+        compute_dtype="float32" if args.fp32 else "bfloat16",
+        use_pallas=False if args.xla else None)
     coarse, fine = engine.init_params(jax.random.PRNGKey(0), config)
     _, rays = make_batch(1, args.img_wh, args.img_wh, config.n_coarse,
                          jax.random.PRNGKey(1))
     num_rays = args.img_wh * args.img_wh
     ray_chunks = min(args.ray_chunks or num_rays, num_rays)
 
+    # The novel-view path the inference CLI uses: image + depth only.
     render = jax.jit(
         lambda pc, pf, r, k: engine.render_image_batch(
-            pc, pf, r, k, config, ray_chunks)[1]["image"])
+            pc, pf, r, k, config, ray_chunks,
+            with_weights=False)[1]["image"])
 
     key = jax.random.PRNGKey(2)
     for i in range(args.warmup):
@@ -130,6 +134,9 @@ def main():
                         help="per-pass ray chunk (0 = whole batch in one "
                              "fused pass; needs ~32 GB HBM at 128^2 train)")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--xla", action="store_true",
+                        help="force the pure-XLA path (default: fused "
+                             "Pallas kernels on TPU backends)")
     parser.add_argument("--warmup", type=int, default=3,
                         help="warmup steps (min 1: the warmup result is the "
                              "pre-timing sync point)")

@@ -32,8 +32,8 @@ def main():
     parser.add_argument('--white_bg', action='store_true')
     parser.add_argument('--mixed_precision', action='store_true')
     parser.add_argument('--use_pallas', action='store_true',
-                        help='render through the fused Pallas ray-march '
-                             'kernel (experimental)')
+                        help='force the fused Pallas kernels on (default: '
+                             'auto — ON for TPU backends)')
 
     # View Parameters
     parser.add_argument('--phi', type=float, default=-30.0)
@@ -86,7 +86,7 @@ def main():
         ray_chunks=args.ray_chunks,
         white_background=args.white_bg,
         is_training=False,
-        use_pallas=args.use_pallas,
+        use_pallas=True if args.use_pallas else None,
     )
 
     focal = get_focal_from_fov(args.fov, args.img_wh)
@@ -101,7 +101,7 @@ def main():
             image_height=args.img_wh, image_width=args.img_wh,
             focal=focal, near=args.near, far=args.far,
             n_samples=nerf.config.n_coarse)
-        _, fine = nerf.predict_and_render_images(rays)
+        _, fine = nerf.predict_and_render_images(rays, with_weights=False)
         frame = np.asarray(fine['image'][0])
         frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
         depth = np.asarray(fine['depth'][0])

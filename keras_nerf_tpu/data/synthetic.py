@@ -75,11 +75,23 @@ def _camera_rays(c2w: np.ndarray, h: int, w: int, focal: float):
     return origin, direction
 
 
-def render_pose(c2w: np.ndarray, image_wh: int) -> np.ndarray:
-    """Render one ground-truth RGBA frame for a camera-to-world matrix."""
-    focal = get_focal_from_fov(_BLENDER_FOV, image_wh)
-    origin, direction = _camera_rays(c2w, image_wh, image_wh, focal)
-    return _trace(origin, direction)
+def render_pose(c2w: np.ndarray, image_wh: int,
+                supersample: int = 1) -> np.ndarray:
+    """Render one ground-truth RGBA frame for a camera-to-world matrix.
+
+    ``supersample > 1`` traces at that multiple and box-downsamples —
+    antialiased, view-CONSISTENT edges like Blender's renders of
+    `nerf_synthetic` (point-sampled hard silhouettes are not representable
+    by any radiance field and cap the scene's reachable PSNR at ~29 dB)."""
+    ss = max(int(supersample), 1)
+    focal = get_focal_from_fov(_BLENDER_FOV, image_wh * ss)
+    origin, direction = _camera_rays(c2w, image_wh * ss, image_wh * ss,
+                                     focal)
+    rgba = _trace(origin, direction)
+    if ss == 1:
+        return rgba
+    return rgba.reshape(image_wh, ss, image_wh, ss, 4).mean(
+        axis=(1, 3)).astype(np.float32)
 
 
 def random_ray_batch(batch: int, height: int, width: int, n_coarse: int,
@@ -111,6 +123,7 @@ def write_synthetic_scene(
     n_val: int = 4,
     n_test: int = 4,
     seed: int = 0,
+    supersample: int = 1,
 ) -> str:
     """Write a Blender-format scene directory and return its path."""
     rng = np.random.default_rng(seed)
@@ -125,7 +138,7 @@ def write_synthetic_scene(
             theta = float(rng.uniform(0.0, 360.0))
             phi = float(rng.uniform(-60.0, -10.0))
             c2w = pose_spherical(theta, phi, 4.0)
-            rgba = render_pose(c2w, image_wh)
+            rgba = render_pose(c2w, image_wh, supersample)
             img = Image.fromarray((rgba * 255).astype(np.uint8), mode="RGBA")
             img.save(os.path.join(split_dir, f"r_{i}.png"))
             frames.append({

@@ -94,9 +94,41 @@ def encode_block128(
     b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
     x6 = jnp.concatenate([positions, directions], axis=-1)
     rep = jnp.dot(x6, jnp.asarray(b), preferred_element_type=jnp.float32)
+    return _masked_sincos(rep, masks)
+
+
+def _masked_sincos(rep, masks):
     enc = (masks[0] * rep + masks[1] * jnp.sin(rep)
            + masks[2] * jnp.cos(rep))
     return enc.astype(jnp.bfloat16)
+
+
+def encode_rays_block128(
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    points: jnp.ndarray,
+    pos_emb_xyz: int,
+    pos_emb_dir: int,
+) -> jnp.ndarray:
+    """Ray-major kernel input straight from rays: ``(o [R, 3], d [R, 3],
+    t [R, S]) -> [R * S, 128]`` bf16.
+
+    Folds the position expansion ``p = o + t d`` (`utils.py:193-194`) into
+    the per-RAY selection matmuls: the scaled arguments are
+    ``rep[r, s] = (o_r @ B + d_r @ B_dir) + t[r, s] * (d_r @ B_xyz)`` — the
+    per-point work is one well-laid-out [R, S, 128] broadcast FMA + masked
+    sin/cos, and no [P, 3]-shaped tensor (tiny-lane relayout pathology,
+    measured ~2-3 ms per fine chunk) ever materializes.
+    """
+    r, s = points.shape
+    b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
+    b = jnp.asarray(b)
+    # b rows 0..2 scale xyz lanes (zero on dir lanes); rows 3..5 vice versa.
+    base = (jnp.dot(origin, b[0:3], preferred_element_type=jnp.float32)
+            + jnp.dot(direction, b[3:6], preferred_element_type=jnp.float32))
+    slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32)
+    rep = base[:, None, :] + points[..., None] * slope[:, None, :]
+    return _masked_sincos(rep, masks).reshape(r * s, LANE)
 
 
 @functools.lru_cache(maxsize=None)
@@ -665,3 +697,428 @@ def fused_render_chunk(
         points,
         white_background=config.white_background,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully fused training kernel: forward + quadrature + MSE cotangent +
+# backward in ONE kernel — no recompute pass, activations never leave VMEM.
+# ---------------------------------------------------------------------------
+
+def _backward_core(config: MLPConfig, last_skip: bool, enc, g_rgb128,
+                   g_sigma128, fwd_state, w, d):
+    """Shared MLP backward given head cotangents and live forward state.
+
+    Args:
+      g_rgb128: [T, 128] f32 cotangent of sigmoid(rgb), lanes 0..2 (others 0).
+      g_sigma128: [T, 128] f32 cotangent of relu(sigma), lane 0 (others 0).
+      fwd_state: ``(rgb_pre or rgb, sigma_pre, (h_list, features, rf))``
+        with ``rgb`` POST-sigmoid.
+      w/d: weight refs / gradient output refs (packed dict of refs).
+    """
+    skip = set(config.skip_indices())
+    n = config.n_layers
+    rgb, sigma_pre, (h_list, features, rf) = fwd_state
+
+    def rowsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def dW(a, g):
+        return jax.lax.dot_general(
+            a, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dX(g, ww):
+        return jax.lax.dot_general(
+            g, ww, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    d_rgb_pre = (g_rgb128 * rgb * (1.0 - rgb)).astype(jnp.bfloat16)
+    _acc_out(d["w_rgb"], dW(rf, d_rgb_pre))
+    _acc_out(d["b_rgb"], rowsum(d_rgb_pre.astype(jnp.float32)))
+
+    d_rf = dX(d_rgb_pre, w["w_rgb"][...]).astype(jnp.bfloat16)
+    _acc_out(d["w_rf_top"], dW(features, d_rf))
+    _acc_out(d["w_rf_enc"], dW(enc, d_rf))
+    _acc_out(d["b_rf"], rowsum(d_rf.astype(jnp.float32)))
+
+    d_features = dX(d_rf, w["w_rf_top"][...]).astype(jnp.bfloat16)
+    d_sigma_pre = (g_sigma128 * (sigma_pre > 0.0)).astype(jnp.bfloat16)
+    _acc_out(d["w_sf"], jnp.concatenate(
+        [dW(h_list[-1], d_features), dW(h_list[-1], d_sigma_pre)], axis=1))
+    if last_skip:
+        _acc_out(d["w_sf_enc"], jnp.concatenate(
+            [dW(enc, d_features), dW(enc, d_sigma_pre)], axis=1))
+    _acc_out(d["b_sf"], jnp.concatenate(
+        [rowsum(d_features.astype(jnp.float32)),
+         rowsum(d_sigma_pre.astype(jnp.float32))], axis=1))
+
+    u = config.dense_units
+    d_h = (dX(d_features, w["w_sf"][:, :u])
+           + dX(d_sigma_pre, w["w_sf"][:, u:]))
+
+    for i in reversed(range(n)):
+        d_pre = (d_h * (h_list[i].astype(jnp.float32) > 0.0)
+                 ).astype(jnp.bfloat16)
+        a_in = enc if i == 0 else h_list[i - 1]
+        _acc_out(d["trunk_w"][i], dW(a_in, d_pre))
+        if i > 0 and _layer_uses_enc(i, skip):
+            _acc_out(d["trunk_enc_w"][i], dW(enc, d_pre))
+        _acc_out(d["trunk_b"][i], rowsum(d_pre.astype(jnp.float32)))
+        if i > 0:
+            d_h = dX(d_pre, w["trunk_w"][i][...])
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _lane_bcast(x):
+    """Broadcast a lane-0-only [.., 128] value across all lanes (reduce +
+    broadcast — the softmax pattern, natively supported; all other lanes of
+    ``x`` must be zero)."""
+    return jnp.broadcast_to(jnp.sum(x, axis=-1, keepdims=True), x.shape)
+
+
+def _replicate_lanes(x, out_lanes=LANE):
+    """``[R_T, S (lanes)] -> [R_T, S (sublanes), out_lanes]`` replicated.
+
+    Mosaic cannot shape-cast lanes<->sublanes; this does it as (supported)
+    primitives: sublane-broadcast, a diagonal select against iota, a lane
+    reduction and a lane broadcast. Cost ~2 passes over [R_T, S, S].
+    """
+    r_tile, s = x.shape
+    x3 = jnp.broadcast_to(x[:, None, :], (r_tile, s, s))
+    sub = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 1)
+    lane = _lane_iota(x3.shape)
+    picked = jnp.sum(jnp.where(sub == lane, x3, 0.0), axis=-1, keepdims=True)
+    return jnp.broadcast_to(picked, (r_tile, s, out_lanes))
+
+
+def _shift_up(x, k, s):
+    """Along the sample (sublane) axis of ``[R_T, S, 128]``: out_s = x_{s+k}
+    (zero beyond the end). pltpu.roll is circular and rejects negative
+    shifts, so shift by S - k and mask."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(sub < s - k, pltpu.roll(x, s - k, axis=1), 0.0)
+
+
+def _shift_down(x, k, s, fill=0.0):
+    """out_s = x_{s-k} (``fill`` below the start)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(sub >= k, pltpu.roll(x, k, axis=1), fill)
+
+
+def _cumprod_exclusive_sub(x, s):
+    """Exclusive cumulative product along the sample (sublane) axis of
+    ``[R_T, S, 128]`` via a Hillis-Steele scan — exact products, no log/exp
+    detour, and no cross-lane broadcast waste (every lane carries its ray's
+    replicated scalar, so the scan is pure sublane shifts)."""
+    y = _shift_down(x, 1, s, fill=1.0)
+    k = 1
+    while k < s:
+        y = y * _shift_down(y, k, s, fill=1.0)
+        k *= 2
+    return y
+
+
+def _suffix_sum_sub(z, s):
+    """``out_s = sum_{j > s} z_j`` along the sample (sublane) axis."""
+    g = _shift_up(z, 1, s)
+    k = 1
+    while k < s:
+        g = g + _shift_up(g, k, s)
+        k *= 2
+    return g
+
+
+def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
+                    white_background: bool, epsilon: float = 1e-10):
+    """Volume rendering on lane-replicated ray tiles.
+
+    Every per-sample scalar (sigma, alpha, transmittance, weights) lives
+    replicated across all 128 lanes of a ``[R_T, S, 128]`` tensor — scans
+    and reductions are sublane ops, rgb rides in lanes 0..2, and NO
+    lane<->sublane shape cast ever happens (Mosaic cannot lower
+    ``[T, 1] <-> [R_T, S]`` casts; the round-1 v3 kernel lost to exactly
+    this relayout).
+
+    Semantics match `ops/rendering.py: render_rays` (reference
+    `utils.py:17-58`): eps-padded last delta (delta3 arrives padded from
+    XLA), exclusive cumprod of ``1 - alpha + eps``, white completion, clip.
+    """
+    alpha = 1.0 - jnp.exp(-sigma_b * delta3)
+    y = 1.0 - alpha + epsilon
+    trans = _cumprod_exclusive_sub(y, s)
+    weights = alpha * trans                       # [R_T, S, 128] replicated
+
+    image_raw = jnp.sum(weights * rgb3, axis=1)   # [R_T, 128], lanes 0..2
+    lane = _lane_iota(image_raw.shape)
+    if white_background:
+        wsum = jnp.sum(weights, axis=1)
+        image_raw = image_raw + (1.0 - wsum)
+    pre_clip = jnp.where(lane < 3, image_raw, 0.0)
+    image = jnp.clip(pre_clip, 0.0, 1.0)
+    return image, weights, (alpha, y, trans, pre_clip)
+
+
+def _depth_lane3(weights, t3, image):
+    """depth = sum_s w_s t_s, packed into lane 3 of the image tile
+    (reference `utils.py:51`; depth carries no gradient)."""
+    depth = jnp.sum(weights * t3, axis=1)         # [R_T, 128] replicated
+    lane = _lane_iota(image.shape)
+    return jnp.where(lane == 3, depth, image)
+
+
+def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
+                    r_tile, s, white_background: bool):
+    """Hand-derived backward of :func:`_quadrature_fwd`.
+
+    ``w_j = alpha_j * prod_{i<j}(1 - alpha_i + eps)`` gives
+    ``d_alpha_s = T_s d_w_s - (sum_{j>s} w_j d_w_j) / y_s`` and
+    ``d_sigma_s = d_alpha_s * delta_s * (1 - alpha_s)``.
+
+    Returns ``(d_rgb3 [R_T, S, 128] lanes 0..2, d_sigma3 replicated)``.
+    """
+    alpha, y, trans, pre_clip = quad_state
+    # clip backward: pass where strictly inside (0, 1).
+    inside = jnp.logical_and(pre_clip > 0.0, pre_clip < 1.0)
+    d_pre = jnp.where(inside, d_image, 0.0)       # [R_T, 128], lanes 0..2
+
+    d_pre3 = d_pre[:, None, :]
+    d_rgb3 = weights * d_pre3
+    # d_w = rgb . d_img per sample (replicated via lane reduce+broadcast).
+    d_w = jnp.broadcast_to(
+        jnp.sum(rgb3 * d_pre3, axis=-1, keepdims=True), weights.shape)
+    if white_background:
+        d_w = d_w - jnp.broadcast_to(
+            jnp.sum(d_pre3, axis=-1, keepdims=True), weights.shape)
+
+    suffix = _suffix_sum_sub(weights * d_w, s)
+    d_alpha = trans * d_w - suffix / y
+    d_sigma3 = d_alpha * delta3 * (1.0 - alpha)
+    return d_rgb3, d_sigma3
+
+
+def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
+                        white_background: bool, r_tile: int, s: int,
+                        inv_n3: float, with_grad: bool, emit_weights: bool,
+                        base_ref, slope_ref, points_ref, masks_ref, *refs):
+    """Per-ray-tile fused train kernel.
+
+    Inputs: per-ray encoding coefficients base/slope [r_tile, 128] f32
+    (``rep = base + t * slope`` reproduces every positional-encoding
+    argument — the p = o + t d expansion folded into the selection matmul),
+    points [r_tile, S] f32, masks [8, 128] f32 (raw/sin/cos lane selectors),
+    (target [r_tile, 128] f32 when with_grad), packed weights. The encoding
+    AND the sample intervals are derived IN-kernel, so per chunk only a few
+    MB stream in instead of the ~300 MB of XLA-materialized enc/delta
+    tensors (measured ~3.5 ms/chunk of pure broadcast/convert fusions).
+
+    Outputs: image [r_tile, 128] f32 (lanes 0..2), weights [r_tile*S, 128]
+    f32 (lane-replicated), (packed gradient accumulators when with_grad).
+    """
+    if with_grad:
+        target_ref = refs[0]
+        refs = refs[1:]
+    n = config.n_layers
+    skip = set(config.skip_indices())
+    n_enc = sum(1 for i in range(n) if i > 0 and _layer_uses_enc(i, skip))
+    n_weights = (2 * n + n_enc + 7 + (1 if last_skip else 0))
+    w, _ = _unflatten_packed(config, last_skip, refs[:n_weights])
+    out_refs = refs[n_weights:]
+    image_ref = out_refs[0]
+    weights_ref = out_refs[1] if emit_weights else None
+    if with_grad:
+        d, _ = _unflatten_packed(
+            config, last_skip, out_refs[2 if emit_weights else 1:])
+
+    # ---- in-kernel encoding + sample intervals ---------------------------
+    t3 = _replicate_lanes(points_ref[...])               # [r_tile, S, 128]
+    rep = (base_ref[...][:, None, :]
+           + t3 * slope_ref[...][:, None, :])
+    mm = masks_ref[...]
+    # One transcendental instead of two: cos(x) = sin(x + pi/2); the phase
+    # add costs <= 1 ulp of |rep|, far below the bf16 output quantization.
+    rep_shift = rep + (np.pi / 2) * mm[2:3, :][None]
+    enc3 = (mm[0:1, :][None] * rep
+            + (mm[1:2, :] + mm[2:3, :])[None] * jnp.sin(rep_shift))
+    enc = enc3.reshape(r_tile * s, LANE).astype(jnp.bfloat16)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, t3.shape, 1)
+    delta3 = jnp.where(sub < s - 1, _shift_up(t3, 1, s) - t3, 1e-10)
+
+    rgb_pre, sigma_pre, acts = _forward_core(
+        config, last_skip, enc, w, keep_acts=with_grad)
+    rgb = jax.nn.sigmoid(rgb_pre)
+    lane = _lane_iota(rgb.shape)
+    rgb3 = jnp.where(lane < 3, rgb, 0.0).reshape(r_tile, s, LANE)
+    # sigma lives in lane 3... lane 0 of sigma_pre; replicate across lanes.
+    sigma_b = _lane_bcast(
+        jnp.maximum(jnp.where(lane == 0, sigma_pre, 0.0), 0.0)
+    ).reshape(r_tile, s, LANE)
+
+    image, weights, quad_state = _quadrature_fwd(
+        rgb3, sigma_b, delta3, r_tile, s, white_background)
+
+    image_ref[...] = _depth_lane3(weights, t3, image)
+    if emit_weights:
+        weights_ref[...] = weights.reshape(r_tile * s, LANE)
+
+    if not with_grad:
+        return
+
+    # MSE cotangent: d image = 2 (image - target) / (R_chunk * 3), computed
+    # against the CLIPPED image exactly like the XLA loss.
+    out_lane = _lane_iota(image.shape)
+    d_image = jnp.where(out_lane < 3,
+                        (image - target_ref[...]) * inv_n3, 0.0)
+
+    d_rgb3, d_sigma3 = _quadrature_bwd(
+        d_image, rgb3, weights, delta3, quad_state, r_tile, s,
+        white_background)
+
+    g_rgb128 = d_rgb3.reshape(r_tile * s, LANE)
+    # Place the (replicated) sigma cotangent in lane 0 only; the shared
+    # backward core applies relu' via (sigma_pre > 0).
+    d_sigma128 = d_sigma3.reshape(r_tile * s, LANE)
+    g_sigma128 = jnp.where(lane == 0, d_sigma128, 0.0)
+
+    _backward_core(config, last_skip, enc, g_rgb128, g_sigma128,
+                   (rgb, sigma_pre, acts), w, d)
+
+
+def _pick_r_tile(num_rays: int, s: int, target_points: int) -> int:
+    """Largest ray tile with r_tile * S ~<= target_points that divides the
+    chunk's ray count. Mosaic block shapes need the sublane dim divisible
+    by 8 (or equal to the full dim), so tiles are multiples of 8 unless the
+    whole chunk becomes one block."""
+    if num_rays <= 8 or num_rays % 8:
+        return num_rays
+    r = max(8, min(num_rays, target_points // max(s, 1)))
+    r -= r % 8
+    while r > 8 and (num_rays % r or (r * s) % 16):
+        r -= 8
+    return r if num_rays % r == 0 else num_rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "pos_emb_xyz", "pos_emb_dir",
+                     "white_background", "with_grad", "emit_weights",
+                     "interpret"))
+def fused_train_chunk(
+    packed: dict,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    points: jnp.ndarray,
+    target: jnp.ndarray | None,
+    config: MLPConfig,
+    pos_emb_xyz: int = 10,
+    pos_emb_dir: int = 4,
+    white_background: bool = False,
+    with_grad: bool = True,
+    emit_weights: bool = True,
+    interpret: bool | None = None,
+):
+    """One model's fused encode+forward+render(+backward) over a ray chunk.
+
+    ``emit_weights=False`` skips the [R*S, 128] weights output (and the
+    derived depth) — the fine TRAIN pass never consumes them, saving a
+    ~200 MB HBM write per fine chunk.
+
+    The flagship kernel: positional encoding, MLP forward, volume-rendering
+    quadrature, the MSE loss cotangent AND the full backward all run in ONE
+    Pallas kernel per ray tile — activations never leave VMEM and there is
+    no recompute pass (the autodiff path runs forward twice: once for the
+    loss, once inside the backward's rematerialization). Host-side inputs
+    are per-RAY only (a few MB per chunk): two tiny selection matmuls turn
+    (o, d) into per-ray encoding coefficients and the kernel derives every
+    per-point quantity itself.
+
+    Args:
+      packed: :func:`pack_mlp_params` output.
+      origin/direction: ``[R, 3]`` f32 rays.
+      points: ``[R, S]`` f32 sorted depths.
+      target: ``[R, 3]`` f32 ground-truth rgb (required when with_grad).
+
+    Returns:
+      ``(image [R, 3], depth [R], weights [R, S])`` plus, when ``with_grad``,
+      the packed gradient dict of ``mean((image - target)**2)`` over the
+      chunk — the exact per-chunk loss the engine accumulates
+      (`nerf.py:366-388`).
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    r, s = points.shape
+    r_tile = _pick_r_tile(r, s, 1024 if with_grad else 4096)
+    grid = r // r_tile
+    last_skip = (config.n_layers - 1) in set(config.skip_indices())
+    weight_args = _flatten_packed(packed)
+    inv_n3 = 2.0 / (r * 3)
+
+    b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
+    b = jnp.asarray(b)
+    base = (jnp.dot(origin, b[0:3], preferred_element_type=jnp.float32)
+            + jnp.dot(direction, b[3:6], preferred_element_type=jnp.float32))
+    slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32)
+    masks8 = jnp.asarray(np.pad(masks, ((0, 5), (0, 0))))  # sublane pad
+
+    t = r_tile * s
+    in_specs = [
+        pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        _const_spec(masks8),
+    ]
+    operands = [base, slope, points.astype(jnp.float32), masks8]
+    if with_grad:
+        target128 = jnp.pad(target.astype(jnp.float32),
+                            ((0, 0), (0, LANE - target.shape[1])))
+        in_specs.append(
+            pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(target128)
+    in_specs += [_const_spec(a) for a in weight_args]
+    operands += weight_args
+
+    out_shapes = [jax.ShapeDtypeStruct((r, LANE), jnp.float32)]
+    out_specs = [pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_weights:
+        out_shapes.append(jax.ShapeDtypeStruct((r * s, LANE), jnp.float32))
+        out_specs.append(pl.BlockSpec((t, LANE), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    if with_grad:
+        grad_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                       for a in weight_args]
+        out_shapes += grad_shapes
+        out_specs += [_const_spec(sh) for sh in grad_shapes]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _train_chunk_kernel, config, last_skip, white_background,
+            r_tile, s, inv_n3, with_grad, emit_weights),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # The v5e core has far more physical VMEM than the conservative
+            # 16 MB default scoped limit; the fine pass (r_tile=8, S=192)
+            # legitimately keeps ~24 MB of activations + accumulators live.
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+    image = outs[0][:, :3]
+    depth = outs[0][:, 3]
+    weights = outs[1][:, 0].reshape(r, s) if emit_weights else None
+    if not with_grad:
+        return image, depth, weights
+    d_packed, _ = _unflatten_packed(
+        config, last_skip, list(outs[2 if emit_weights else 1:]))
+    return image, depth, weights, d_packed

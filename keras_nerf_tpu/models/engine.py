@@ -72,8 +72,12 @@ class NeRFConfig:
     skip_layer: int = 4
     white_background: bool = False
     compute_dtype: str = "float32"
-    # Opt-in fused Pallas MLP on no-gradient paths (see kernels/ray_march.py).
-    use_pallas: bool = False
+    # Fused Pallas kernels (kernels/ray_march.py). None = auto: ON for TPU
+    # backends (where they are the measured-fastest path), OFF elsewhere
+    # (CPU tests run the kernels only in explicit interpret mode). True
+    # forces them (raises if the architecture is outside the kernel shape
+    # envelope); False forces the pure-XLA path.
+    use_pallas: bool | None = None
 
     @property
     def mlp(self) -> MLPConfig:
@@ -130,10 +134,24 @@ def init_params(key: jax.Array, config: NeRFConfig) -> tuple[Params, Params]:
     return coarse, fine
 
 
+def exponential_lr(learning_rate: float, lr_final: float,
+                   decay_steps: int) -> optax.Schedule:
+    """The original NeRF paper's lr recipe: exponential decay from
+    ``learning_rate`` to ``lr_final`` over ``decay_steps`` optimizer steps
+    (Mildenhall et al. 2020 §A; the reference trains at a constant Keras
+    default instead, which plateaus ~3 dB short — docs/QUALITY.md)."""
+    return optax.exponential_decay(
+        init_value=learning_rate,
+        transition_steps=max(decay_steps, 1),
+        decay_rate=lr_final / learning_rate,
+        end_value=lr_final)
+
+
 def make_optimizer(optimizer: str | optax.GradientTransformation,
-                   learning_rate: float = 1e-3) -> optax.GradientTransformation:
+                   learning_rate=1e-3) -> optax.GradientTransformation:
     """String -> optax optimizer (the `tf.keras.optimizers.get` equivalent,
-    `nerf.py:163-165`; Keras Adam defaults => lr 1e-3)."""
+    `nerf.py:163-165`; Keras Adam defaults => lr 1e-3). ``learning_rate``
+    may be an optax schedule (see :func:`exponential_lr`)."""
     if not isinstance(optimizer, str):
         return optimizer
     name = optimizer.lower()
@@ -194,7 +212,7 @@ def render_chunk(
     else:
         points = coarse_points
 
-    if config.use_pallas:
+    if resolve_use_pallas(config):
         # Fused Pallas PE+MLP (forward and backward kernels; custom_vjp —
         # kernels/ray_march.py). Positions/directions are data here, matching
         # the kernel's zero input-cotangent contract.
@@ -254,16 +272,21 @@ def render_image_batch(
     key: jax.Array,
     config: NeRFConfig,
     ray_chunks: int,
+    with_weights: bool = True,
 ) -> tuple[dict, dict]:
     """Full-image chunked inference (`predict_and_render_images`,
     `nerf.py:229-304`).
 
     Args:
       rays: ``(origin [B,H,W,3], direction [B,H,W,3], points [B,H,W,Nc])``.
+      with_weights: include per-sample ``weights`` in the output dicts
+        (API parity with the reference). ``False`` skips the fine pass's
+        weights entirely on the fused path — the fast option for pure
+        novel-view rendering (image + depth only).
 
     Returns:
-      ``(coarse, fine)`` dicts with ``image [B,H,W,3]``, ``depth [B,H,W]``,
-      ``weights [B,H,W,S]``.
+      ``(coarse, fine)`` dicts with ``image [B,H,W,3]``, ``depth [B,H,W]``
+      and (when ``with_weights``) ``weights [B,H,W,S]``.
     """
     b, h, w = rays[0].shape[:3]
     num_rays = b * h * w
@@ -276,21 +299,40 @@ def render_image_batch(
     xs = (_chunked(o, num_chunks), _chunked(d, num_chunks),
           _chunked(t, num_chunks), jax.random.split(key, num_chunks))
 
-    def body(_, x):
-        oc, dc, tc, k = x
-        out_c, out_f = render_chunk_pair(
-            coarse_params, fine_params, oc, dc, tc, k, config)
-        return None, (out_c, out_f)
+    if _use_fused_train(config, None):
+        # Fused no-gradient path: MLP + quadrature in one kernel per model.
+        from keras_nerf_tpu.kernels import pack_mlp_params
+
+        packed_c = pack_mlp_params(coarse_params, config.mlp,
+                                   config.pos_emb_xyz, config.pos_emb_dir)
+        packed_f = pack_mlp_params(fine_params, config.mlp,
+                                   config.pos_emb_xyz, config.pos_emb_dir)
+
+        def body(_, x):
+            oc, dc, tc, k = x
+            (ic, dpc, wc), (iff, dpf, wf) = _fused_chunk_pair(
+                packed_c, packed_f, oc, dc, tc, k, config,
+                with_weights=with_weights)
+            return None, (RenderOutput(image=ic, depth=dpc, weights=wc),
+                          RenderOutput(image=iff, depth=dpf, weights=wf))
+    else:
+        def body(_, x):
+            oc, dc, tc, k = x
+            out_c, out_f = render_chunk_pair(
+                coarse_params, fine_params, oc, dc, tc, k, config)
+            return None, (out_c, out_f)
 
     _, (out_c, out_f) = jax.lax.scan(body, None, xs)
 
     def unchunk(out: RenderOutput) -> dict:
-        s = out.weights.shape[-1]
-        return {
+        d = {
             "image": out.image.reshape(b, h, w, 3),
             "depth": out.depth.reshape(b, h, w),
-            "weights": out.weights.reshape(b, h, w, s),
         }
+        if with_weights and out.weights is not None:
+            s = out.weights.shape[-1]
+            d["weights"] = out.weights.reshape(b, h, w, s)
+        return d
 
     return unchunk(out_c), unchunk(out_f)
 
@@ -300,6 +342,78 @@ def mse_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
     Keras argument order the reference's loss callable uses
     (`train.py:130-136` builds MSE(reduction=NONE) + reduce_mean)."""
     return jnp.mean(jnp.square(y_pred - y_true))
+
+
+def resolve_use_pallas(config: NeRFConfig) -> bool:
+    """Resolve the tri-state ``use_pallas`` flag.
+
+    ``None`` (auto) turns the kernels on for TPU backends where they are
+    the measured-fastest path and the architecture fits their shape
+    envelope; explicit ``True`` insists (pack_mlp_params raises on
+    unsupported shapes); ``False`` stays pure-XLA.
+    """
+    from keras_nerf_tpu.kernels.ray_march import kernel_supported
+
+    if config.use_pallas is None:
+        return (jax.devices()[0].platform in ("tpu", "axon")
+                and kernel_supported(config.mlp, config.pos_emb_xyz,
+                                     config.pos_emb_dir))
+    return config.use_pallas
+
+
+def _use_fused_train(config: NeRFConfig, loss_fn) -> bool:
+    """The fully fused Pallas train path applies when the kernels are on,
+    the architecture fits their shape envelope and the loss is the default
+    MSE (the kernel derives the MSE cotangent in-register)."""
+    from keras_nerf_tpu.kernels.ray_march import kernel_supported
+
+    return (resolve_use_pallas(config)
+            and loss_fn in (None, mse_loss)
+            and kernel_supported(config.mlp, config.pos_emb_xyz,
+                                 config.pos_emb_dir))
+
+
+def _encode_chunk(origin, direction, points, config: NeRFConfig):
+    """Ray-major [R*S, 128] bf16 kernel input for one chunk."""
+    from keras_nerf_tpu.kernels.ray_march import encode_rays_block128
+
+    return encode_rays_block128(origin, direction, points,
+                                config.pos_emb_xyz, config.pos_emb_dir)
+
+
+def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
+                      key, config: NeRFConfig, target=None,
+                      with_weights=True):
+    """Coarse pass -> hierarchical sampling -> fine pass through the fully
+    fused train kernel (`kernels/ray_march.py: fused_train_chunk`).
+
+    With ``target`` set, also returns the per-chunk MSE gradients of both
+    models (packed layout) — the same per-chunk loss the autodiff path
+    differentiates (`nerf.py:366-388`); gradients never flow between the
+    models (each kernel only sees its own packed weights — the structural
+    stop-gradient of `nerf.py:390-417`).
+    """
+    from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
+
+    with_grad = target is not None
+    out_c = fused_train_chunk(
+        packed_c, origin, direction, coarse_points, target, config.mlp,
+        pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
+        white_background=config.white_background, with_grad=with_grad)
+    weights_c = out_c[2]
+
+    mids = midpoints(coarse_points)
+    fine_points = sample_pdf_sorted(key, mids, weights_c, config.n_fine)
+    points = merge_sorted(coarse_points, fine_points)
+    # The fine pass's weights are only needed when the caller wants them in
+    # the render dict (the train pass and metric-only eval never consume
+    # them) — skipping them saves a large [R*S, 128] HBM write per chunk.
+    out_f = fused_train_chunk(
+        packed_f, origin, direction, points, target, config.mlp,
+        pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
+        white_background=config.white_background, with_grad=with_grad,
+        emit_weights=(not with_grad) and with_weights)
+    return out_c, out_f
 
 
 def _batch_metrics(images_c, images_f, target, loss_c, loss_f) -> dict:
@@ -364,25 +478,58 @@ def train_step(
         jax.random.split(key, num_chunks),
     )
 
-    def chunk_loss(both_params, oc, dc, tc, tgt, k):
-        coarse_params, fine_params = both_params
-        out_c, out_f = render_chunk_pair(
-            coarse_params, fine_params, oc, dc, tc, k, config)
-        loss_c = loss_fn(tgt, out_c.image)
-        loss_f = loss_fn(tgt, out_f.image)
-        return loss_c + loss_f, (loss_c, loss_f, out_c.image, out_f.image)
+    if _use_fused_train(config, loss_fn):
+        # Fully fused Pallas path: per-chunk forward + quadrature + MSE
+        # cotangent + backward run in one kernel per model; packing is
+        # hoisted out of the chunk scan (params are chunk-invariant) and
+        # gradients accumulate in the packed layout, unpacked once.
+        from keras_nerf_tpu.kernels import pack_mlp_params, unpack_grads
 
-    grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
-    params = (state.coarse_params, state.fine_params)
-    zero_grads = jax.tree.map(jnp.zeros_like, params)
+        packed_c = pack_mlp_params(
+            state.coarse_params, config.mlp, config.pos_emb_xyz,
+            config.pos_emb_dir)
+        packed_f = pack_mlp_params(
+            state.fine_params, config.mlp, config.pos_emb_xyz,
+            config.pos_emb_dir)
 
-    def body(acc, x):
-        oc, dc, tc, tgt, k = x
-        (_, aux), grads = grad_fn(params, oc, dc, tc, tgt, k)
-        acc = jax.tree.map(jnp.add, acc, grads)
-        return acc, aux
+        def body(acc, x):
+            oc, dc, tc, tgt, k = x
+            out_c, out_f = _fused_chunk_pair(
+                packed_c, packed_f, oc, dc, tc, k, config, target=tgt)
+            img_c, g_c = out_c[0], out_c[3]
+            img_f, g_f = out_f[0], out_f[3]
+            loss_c = jnp.mean(jnp.square(img_c - tgt))
+            loss_f = jnp.mean(jnp.square(img_f - tgt))
+            acc = jax.tree.map(jnp.add, acc, (g_c, g_f))
+            return acc, (loss_c, loss_f, img_c, img_f)
 
-    (grads_c, grads_f), aux = jax.lax.scan(body, zero_grads, xs)
+        zero_grads = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, jnp.float32), (packed_c, packed_f))
+        (gp_c, gp_f), aux = jax.lax.scan(body, zero_grads, xs)
+        grads_c = unpack_grads(gp_c, config.mlp, config.pos_emb_xyz,
+                               config.pos_emb_dir)
+        grads_f = unpack_grads(gp_f, config.mlp, config.pos_emb_xyz,
+                               config.pos_emb_dir)
+    else:
+        def chunk_loss(both_params, oc, dc, tc, tgt, k):
+            coarse_params, fine_params = both_params
+            out_c, out_f = render_chunk_pair(
+                coarse_params, fine_params, oc, dc, tc, k, config)
+            loss_c = loss_fn(tgt, out_c.image)
+            loss_f = loss_fn(tgt, out_f.image)
+            return loss_c + loss_f, (loss_c, loss_f, out_c.image, out_f.image)
+
+        grad_fn = jax.value_and_grad(chunk_loss, has_aux=True)
+        params = (state.coarse_params, state.fine_params)
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+        def body(acc, x):
+            oc, dc, tc, tgt, k = x
+            (_, aux), grads = grad_fn(params, oc, dc, tc, tgt, k)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            return acc, aux
+
+        (grads_c, grads_f), aux = jax.lax.scan(body, zero_grads, xs)
     inv = 1.0 / num_chunks
     grads_c = jax.tree.map(lambda g: g * inv, grads_c)
     grads_f = jax.tree.map(lambda g: g * inv, grads_f)
@@ -440,7 +587,8 @@ def eval_step(
     images, rays = batch
     target = images[..., :3]
     out_c, out_f = render_image_batch(
-        state.coarse_params, state.fine_params, rays, key, config, ray_chunks)
+        state.coarse_params, state.fine_params, rays, key, config, ray_chunks,
+        with_weights=False)
     loss_c = loss_fn(target, out_c["image"])
     loss_f = loss_fn(target, out_f["image"])
     metrics = _batch_metrics(out_c["image"], out_f["image"], target,

@@ -80,7 +80,9 @@ class NeRF:
                 image_height: int = 128, image_width: int = 128,
                 ray_chunks: int = 1024, white_background: bool = False,
                 is_training: bool = True, learning_rate: float = 1e-3,
-                seed: int = 42, mesh=None, use_pallas: bool = False, **_):
+                lr_final: float = 0.0, lr_decay_steps: int = 0,
+                seed: int = 42, mesh=None, use_pallas: bool | None = None,
+                **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
         Mirrors `nerf.py:78-114`: clamps ``ray_chunks`` to ``num_rays``,
@@ -129,6 +131,11 @@ class NeRF:
         logging.info("num_rays=%d per_device_rays=%d sequential_chunks=%d",
                      self.num_rays, per_device_rays, self.sequential_chunks)
 
+        if lr_final > 0.0 and lr_decay_steps > 0:
+            # NeRF-paper exponential decay; state counts live in the optax
+            # optimizer state, so checkpoint resume continues the schedule.
+            learning_rate = engine.exponential_lr(
+                learning_rate, lr_final, lr_decay_steps)
         self.optimizer = engine.make_optimizer(optimizer, learning_rate)
         self.mesh = mesh
         self._eval_key = jax.random.PRNGKey(seed + 1)
@@ -154,9 +161,14 @@ class NeRF:
             from keras_nerf_tpu.parallel import shard_batch_fns
             train_fn, eval_fn, render_fn = shard_batch_fns(
                 mesh, train_fn, eval_fn, render_fn)
+            self._render = jax.jit(render_fn)
+        else:
+            # with_weights=False is the fast novel-view path (image+depth
+            # only); the mesh render keeps the full dict (fixed out specs).
+            self._render = jax.jit(render_fn,
+                                   static_argnames=("with_weights",))
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
         self._eval_step = jax.jit(eval_fn)
-        self._render = jax.jit(render_fn)
 
         self.metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
         self.val_metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
@@ -202,14 +214,18 @@ class NeRF:
             self.val_metrics[k].update(v)
         return out
 
-    def predict_and_render_images(self, rays, key=None) -> tuple[dict, dict]:
-        """Render full images: ``(coarse, fine)`` dicts of image/depth/weights
-        (`nerf.py:229-304`)."""
+    def predict_and_render_images(self, rays, key=None,
+                                  with_weights: bool = True
+                                  ) -> tuple[dict, dict]:
+        """Render full images: ``(coarse, fine)`` dicts of image/depth(/
+        weights) (`nerf.py:229-304`). ``with_weights=False`` is the fast
+        image+depth-only path for novel-view rendering (single-device)."""
         self._require_compiled()
-        out_c, out_f = self._render(
-            self.state.coarse_params, self.state.fine_params, rays,
-            key if key is not None else self._eval_key)
-        return out_c, out_f
+        args = (self.state.coarse_params, self.state.fine_params, rays,
+                key if key is not None else self._eval_key)
+        if self.mesh is not None:
+            return self._render(*args)
+        return self._render(*args, with_weights=with_weights)
 
     def evaluate(self, dataset, key=None) -> dict[str, float]:
         """Run test_step over a dataset; returns mean metrics (the Keras

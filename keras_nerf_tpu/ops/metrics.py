@@ -54,6 +54,11 @@ def _depthwise_blur_1d(x: jnp.ndarray, window: jnp.ndarray, axis: int) -> jnp.nd
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        # TPU lowers f32 convs to bf16 MXU passes by default; the blur must
+        # stay f32 or the sigma^2 = blur(x^2) - mu^2 cancellation loses to
+        # the +-C2 stabilizers and the SSIM map blows past [-1, 1]
+        # (observed 1.3-2.7 on real training renders).
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -228,3 +228,26 @@ def test_config_round_trip(cfg):
     cfg2 = NeRFConfig.from_model_config(d, white_background=True)
     assert cfg2.n_coarse == cfg.n_coarse
     assert cfg2.white_background
+
+
+def test_exponential_lr_schedule():
+    """NeRF-paper lr decay: init at step 0, lr_final at decay_steps, capped
+    beyond; plumbed through NeRF.compile(lr_final=, lr_decay_steps=)."""
+    sched = engine.exponential_lr(5e-4, 5e-6, 100)
+    np.testing.assert_allclose(float(sched(0)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 5e-6, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(200)), 5e-6, rtol=1e-4)
+    assert float(sched(50)) == pytest.approx(5e-5, rel=1e-3)  # geometric mid
+
+    from keras_nerf_tpu.models import NeRF
+    nerf = NeRF(n_coarse=8, n_fine=0, pos_emb_xyz=2, pos_emb_dir=1,
+                n_layers=2, dense_units=16, skip_layer=4)
+    nerf.compile(batch_size=1, image_height=4, image_width=4,
+                 ray_chunks=16, learning_rate=5e-4, lr_final=5e-6,
+                 lr_decay_steps=100)
+    images = jnp.ones((1, 4, 4, 4)) * 0.5
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (1, 4, 4, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (1, 4, 4, 1))
+    t = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 8), (1, 4, 4, 8))
+    m = nerf.train_step((images, (o, d, t)))
+    assert np.isfinite(m["fine_loss"])

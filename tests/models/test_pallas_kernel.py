@@ -221,3 +221,127 @@ def test_pack_rejects_unaligned_width():
     params, _ = engine.init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(ValueError):
         pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)
+
+
+@pytest.fixture(scope="module")
+def quad_cfg():
+    return NeRFConfig(n_coarse=8, n_fine=0, pos_emb_xyz=10, pos_emb_dir=4,
+                      n_layers=3, dense_units=256, skip_layer=2,
+                      white_background=True, compute_dtype="bfloat16")
+
+
+def _chunk_fixture(cfg, r=32):
+    key = jax.random.PRNGKey(0)
+    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
+    d = jax.random.normal(key, (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(1), (r, cfg.n_coarse), minval=2.0, maxval=6.0),
+        axis=-1)
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (r, 3))
+    return o, d, t, tgt
+
+
+def test_fused_train_chunk_forward_matches_render(quad_cfg):
+    """with_grad=False: in-kernel quadrature must reproduce the XLA render
+    (image, depth, weights) within bf16 rounding."""
+    from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
+    from keras_nerf_tpu.kernels import pack_mlp_params
+    params, _ = engine.init_params(jax.random.PRNGKey(2), quad_cfg)
+    o, d, t, _ = _chunk_fixture(quad_cfg)
+    packed = pack_mlp_params(params, quad_cfg.mlp, 10, 4)
+    img, depth, weights = fused_train_chunk(
+        packed, o, d, t, None, quad_cfg.mlp,
+        white_background=True, with_grad=False, interpret=True)
+    ref, _ = engine.render_chunk(params, o, d, t, jax.random.PRNGKey(0),
+                                 quad_cfg)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(weights), np.asarray(ref.weights),
+                               atol=0.01)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                               atol=0.03)
+
+
+@pytest.mark.parametrize("white_bg", [True, False])
+def test_fused_train_chunk_grads_match_autodiff(white_bg):
+    """The one-kernel fwd+quadrature+MSE+bwd must reproduce XLA autodiff
+    gradients of the per-chunk loss for every leaf (n_fine=0 so both paths
+    see identical sample points)."""
+    from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
+    from keras_nerf_tpu.kernels import pack_mlp_params, unpack_grads
+    cfg = NeRFConfig(n_coarse=8, n_fine=0, pos_emb_xyz=10, pos_emb_dir=4,
+                     n_layers=3, dense_units=256, skip_layer=2,
+                     white_background=white_bg, compute_dtype="bfloat16")
+    params, _ = engine.init_params(jax.random.PRNGKey(2), cfg)
+    o, d, t, tgt = _chunk_fixture(cfg)
+
+    def xla_loss(prm):
+        out, _ = engine.render_chunk(prm, o, d, t, jax.random.PRNGKey(0),
+                                     cfg)
+        return jnp.mean(jnp.square(out.image - tgt))
+
+    g_xla = jax.grad(xla_loss)(params)
+
+    packed = pack_mlp_params(params, cfg.mlp, 10, 4)
+    img, _, _, d_packed = fused_train_chunk(
+        packed, o, d, t, tgt, cfg.mlp, white_background=white_bg,
+        with_grad=True, interpret=True)
+    g_fused = unpack_grads(d_packed, cfg.mlp, 10, 4)
+
+    # The differentiated loss value itself must agree.
+    fused_loss = float(jnp.mean(jnp.square(img - tgt)))
+    np.testing.assert_allclose(fused_loss, float(xla_loss(params)),
+                               rtol=0.02)
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_xla),
+            jax.tree_util.tree_leaves_with_path(g_fused)):
+        a, b = np.asarray(a), np.asarray(b)
+        # Norm-based: stable against single-element bf16 rounding noise
+        # (the two paths round the PE arguments differently: the kernel
+        # folds p = o + t d into base + t * slope).
+        rel_norm = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-8)
+        rel_max = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+        assert rel_norm < 0.03 and rel_max < 0.12, (
+            jax.tree_util.keystr(path), rel_norm, rel_max, white_bg)
+
+
+def test_fused_train_step_matches_xla_step():
+    """engine.train_step with use_pallas must track the XLA step: same
+    losses (bf16 budget) and decreasing loss over iterations, exercising
+    the full scan + packed-gradient accumulation + unpack path."""
+    cfg_x = NeRFConfig(n_coarse=8, n_fine=8, pos_emb_xyz=10, pos_emb_dir=4,
+                       n_layers=2, dense_units=256, skip_layer=4,
+                       white_background=True, compute_dtype="bfloat16")
+    cfg_p = NeRFConfig(**{**cfg_x.to_model_config()},
+                       white_background=True, compute_dtype="bfloat16",
+                       use_pallas=True)
+    opt = engine.make_optimizer("sgd", 1.0)
+    b, h, w = 1, 4, 8
+    images = jnp.tile(jnp.asarray([0.8, 0.2, 0.1, 1.0]), (b, h, w, 1))
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(3), (b, h, w, 8), minval=2.0, maxval=6.0), -1)
+    batch = (images, (o, d, t))
+
+    s0x = engine.init_train_state(jax.random.PRNGKey(0), cfg_x, opt)
+    s0p = engine.init_train_state(jax.random.PRNGKey(0), cfg_p, opt)
+    key = jax.random.PRNGKey(5)
+    s1x, mx = engine.train_step(s0x, batch, key, optimizer=opt,
+                                config=cfg_x, ray_chunks=16)
+    s1p, mp = engine.train_step(s0p, batch, key, optimizer=opt,
+                                config=cfg_p, ray_chunks=16)
+    # Same chunk keys => same sampling draws; losses agree to bf16 budget.
+    np.testing.assert_allclose(float(mp["coarse_loss"]),
+                               float(mx["coarse_loss"]), rtol=0.03)
+    # SGD lr=1: param delta == gradient; coarse grads must agree closely.
+    for a, ax, b0 in zip(jax.tree.leaves(s1p.coarse_params),
+                         jax.tree.leaves(s1x.coarse_params),
+                         jax.tree.leaves(s0x.coarse_params)):
+        ga = np.asarray(b0) - np.asarray(a)
+        gx = np.asarray(b0) - np.asarray(ax)
+        rel = np.abs(ga - gx).max() / (np.abs(gx).max() + 1e-8)
+        assert rel < 0.08, rel

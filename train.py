@@ -52,13 +52,16 @@ def main():
                              '(0 = all devices)')
     parser.add_argument('--ray_chunks', type=int, default=1024)
     parser.add_argument('--learning_rate', type=float, default=1e-3)
+    parser.add_argument('--lr_final', type=float, default=0.0,
+                        help='exponential lr decay target over the full run '
+                             '(0 = constant lr like the reference)')
     parser.add_argument('--optimizer', type=str, default='adam')
     parser.add_argument('--mixed_precision', action='store_true')
     parser.add_argument('--seed', type=int, default=42)
     parser.add_argument('--debug_nans', action='store_true')
     parser.add_argument('--profile_dir', type=str, default='')
     parser.add_argument('--use_pallas', action='store_true',
-                        help='fused Pallas PE+MLP kernels on the render path')
+                        help='force the fused Pallas kernels on (default: auto)')
     parser.add_argument('--resize_method', type=str, default='lanczos',
                         choices=['lanczos', 'antialias-bilinear'],
                         help='image resize filter; antialias-bilinear matches '

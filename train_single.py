@@ -46,6 +46,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument('--eagerly', action='store_true',
                         help='disable jit (debug mode)')
     parser.add_argument('--learning_rate', type=float, default=1e-3)
+    parser.add_argument('--lr_final', type=float, default=0.0,
+                        help='exponential lr decay target over the full run '
+                             '(NeRF-paper schedule; 0 = constant lr like the '
+                             'reference). The quality recipe uses 5e-4 -> '
+                             '5e-6 (docs/QUALITY.md)')
     parser.add_argument('--optimizer', type=str, default='adam')
     parser.add_argument('--mixed_precision', action='store_true',
                         help='bfloat16 MLP compute (TPU MXU fast path)')
@@ -60,8 +65,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help='write a jax.profiler trace for the first '
                              'training epoch to this directory')
     parser.add_argument('--use_pallas', action='store_true',
-                        help='fused Pallas PE+MLP kernels on the render path '
-                             '(opt-in; see kernels/ray_march.py status)')
+                        help='force the fused Pallas kernels on (default: '
+                             'auto — ON for TPU backends)')
     parser.add_argument('--resize_method', type=str, default='lanczos',
                         choices=['lanczos', 'antialias-bilinear'],
                         help='image resize filter; antialias-bilinear matches '
@@ -152,9 +157,11 @@ def run_training(args, mesh=None):
         ray_chunks=args.ray_chunks,
         white_background=args.white_bg,
         learning_rate=args.learning_rate,
+        lr_final=getattr(args, 'lr_final', 0.0),
+        lr_decay_steps=args.num_epochs * max(len(train_dataset), 1),
         seed=getattr(args, 'seed', 42),
         mesh=mesh,
-        use_pallas=getattr(args, 'use_pallas', False),
+        use_pallas=True if getattr(args, 'use_pallas', False) else None,
     )
 
     callbacks = [nerf_monitor]
