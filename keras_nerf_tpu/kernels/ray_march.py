@@ -1,48 +1,62 @@
-"""Fused Pallas MLP kernels for the NeRF ray march.
+"""Fused Pallas TPU kernels for the NeRF ray march.
 
 The hot op of the whole framework: evaluating the radiance-field MLP over
 every (ray, sample) point, forward AND backward. The XLA path
 (`keras_nerf_tpu/models/mlp.py`) round-trips every layer's [P, 256]
 activation through HBM — at the headline config that makes both passes
 HBM-bandwidth-bound (measured ~2-3x the MXU roofline). These kernels keep
-the entire trunk + heads in VMEM per point tile; only one encoded input tile
-streams in and one packed rgb/sigma tile streams out.
+everything per ray tile in VMEM. Three tiers, fastest first:
 
-Design (v4 — see /opt/skills/guides/pallas_guide.md):
+1. :func:`fused_train_chunk` — THE DEFAULT TRAIN/EVAL PATH on TPU
+   (``NeRFConfig.use_pallas=None`` auto). One kernel per ray tile runs the
+   positional encoding, the MLP forward, the volume-rendering quadrature,
+   the MSE loss cotangent and the full backward: activations never leave
+   VMEM and there is no recompute pass (a custom-vjp split pays a 4th
+   matmul pass; this pays 3). Host-side inputs are per-RAY only (base/slope
+   encoding coefficients + depths ~5 MB/chunk, vs ~300 MB of materialized
+   enc/delta tensors). Measured v5e-1, 128^2 headline: 130 ms/step =
+   125.7k rays/s (XLA path: 218 ms; reference V100: 5.5k rays/s).
+2. :func:`fused_point_forward` — a custom_vjp (pre-encoded [T, 128] input,
+   forward kernel + recompute-backward kernel) used when training with a
+   NON-MSE loss: XLA differentiates the quadrature/loss and the kernels
+   handle the MLP. Also the building block of :func:`fused_render_chunk`.
+3. the pure-XLA path (`models/mlp.py` + `ops/rendering.py`) — CPU, debug,
+   and shapes outside :func:`kernel_supported`.
 
-* the kernel consumes ONE pre-encoded ``[T, 128]`` bfloat16 input tile:
-  lanes 0..62 the block-order xyz encoding, lanes 64..90 the block-order
-  view-dir encoding, everything else zero (:func:`encode_block128`, computed
-  by XLA where it fuses with the ray expansion). Unlike the round-1 kernels
-  (raw [T, 8] inputs + in-kernel PE) this gives Mosaic a perfectly
-  lane-aligned operand: no relayout copies, no in-kernel transcendentals,
-  and the encoding is computed ONCE per step instead of re-derived by the
-  recompute backward;
-* there are NO lane concatenations or sub-128 slices anywhere: every place
-  the reference concatenates (skip connection `mlp.py:36-38`, view-dir
-  concat `mlp.py:43-44`) becomes a SPLIT matmul against row-masked packed
-  weights — ``h @ W_a + enc128 @ W_enc`` with the unused rows of ``W_enc``
-  zero, which computes the identical function;
-* sigma and the feature head share one ``[256, 384]`` matmul (sigma rides
-  in column 256 — `mlp.py:17-21`); all matmuls accumulate in float32;
+Design rules that made the kernels win (round 1 lost to XLA end-to-end):
+
+* every operand/activation is lane-aligned: [T, 128] or [T, 256] tiles, no
+  lane concatenations, no sub-128 slices. Where the reference concatenates
+  (skip connection `mlp.py:36-38`, view-dir concat `mlp.py:43-44`) the
+  kernels run SPLIT matmuls against row-masked packed weights — identical
+  function, zero relayouts;
+* per-ray/per-sample scalars (sigma, alpha, transmittance, weights) live
+  REPLICATED across all 128 lanes of [R_T, S, 128] tensors; cumprod and
+  suffix-sum are Hillis-Steele sublane scans. Mosaic cannot shape-cast
+  lanes<->sublanes ([T, 1] <-> [R_T, S]); the one required conversion
+  (depths) is a mask+reduce (:func:`_replicate_lanes`);
+* the positional encoding is a selection MATMUL (one nonzero per column =
+  exact products) off per-ray base/slope coefficients; ``cos`` rides the
+  ``sin`` unit via a masked +pi/2 phase; the [..., L, 3] broadcast layout
+  the reference implies costs more in relayouts than the transcendentals;
+* sigma and the feature head share one [256, 384] matmul (sigma in column
+  256 — `mlp.py:17-21`); all matmuls accumulate in float32; bf16 operands;
 * packed weights (~1.3 MB bf16) use constant index maps, so Mosaic keeps
-  them VMEM-resident across the whole grid;
-* the BACKWARD kernel recomputes the forward per tile in VMEM
-  (flash-attention-style) and accumulates packed weight/bias gradients
-  across the sequential grid. Recompute beats an HBM activation stash:
-  re-running the forward costs ~2.4 ms of MXU per fine chunk vs ~4 ms of
-  HBM round-trip for the ~1.6 GB of stashed activations (ROADMAP round-1
-  path b, settled analytically and consistent with measurements).
+  them VMEM-resident across the whole grid; dW accumulates across the
+  sequential grid in VMEM f32 and is unpacked to the reference layout once
+  per step;
+* recompute beats an HBM activation stash (ROADMAP round-1 path b): one
+  extra forward is ~2.4 ms of MXU per fine chunk vs ~4 ms of HBM round
+  trip for the ~1.6 GB of stashed activations — and the fused train kernel
+  eliminates both;
+* the v5e has far more physical VMEM than Mosaic's conservative 16 MB
+  scoped default — the fine train tile legitimately holds ~24 MB
+  (vmem_limit_bytes raised).
 
-History: the round-1 kernels (raw-input + in-kernel PE, and a v3 variant
-with the quadrature in-kernel) lost to XLA end-to-end (8.8 / 9.4 ms vs
-6.5 ms per 2048-ray fine chunk) to operand relayouts, doubled PE work and
-128x lane-broadcast waste on per-ray scalars. v4 resolves all three by
-construction; measured numbers live in docs/DESIGN.md and BENCH_r02.json.
-
-Gradients are verified leaf-for-leaf against XLA autodiff
-(tests/models/test_pallas_kernel.py). Reference semantics covered:
-`keras_nerf/model/nerf/mlp.py:29-50`.
+Gradients are verified leaf-for-leaf against XLA autodiff on hardware and
+in interpret mode (tests/models/test_pallas_kernel.py). Reference
+semantics covered: `keras_nerf/model/nerf/mlp.py:29-50` (MLP),
+`utils.py:17-58` (quadrature), `utils.py:177-210` (encoding).
 """
 
 from __future__ import annotations

@@ -105,9 +105,20 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
     if os.path.exists(opt_path):
         target = {"coarse": template.coarse_opt, "fine": template.fine_opt,
                   "step": template.step}
-        with open(opt_path, "rb") as f:
-            restored = _deserialize(target, f.read())
-        opt_c, opt_f = restored["coarse"], restored["fine"]
-        step = jnp.asarray(restored["step"])
+        try:
+            with open(opt_path, "rb") as f:
+                restored = _deserialize(target, f.read())
+            opt_c, opt_f = restored["coarse"], restored["fine"]
+            step = jnp.asarray(restored["step"])
+        except (ValueError, KeyError) as e:
+            # A different optimizer/schedule config changes the optax state
+            # tree (e.g. a schedule adds a count) — degrade to the
+            # reference's behavior (weights-only resume, fresh moments,
+            # `nerf.py:66-76`) instead of crashing the resume.
+            import logging
+            logging.warning(
+                "optimizer state in %s does not match the compiled "
+                "optimizer (%s); resuming with fresh optimizer state",
+                opt_path, e)
     return TrainState(coarse_params=coarse, fine_params=fine,
                       coarse_opt=opt_c, fine_opt=opt_f, step=step)

@@ -212,12 +212,17 @@ class NeRFTrainMonitor:
                     self.log_dir, f"test_sample_{i}_{epoch}.png"))
                 plt.close(fig)
 
-        # CSV row (`callback.py:211-218`).
+        # CSV row (`callback.py:211-218`). Header iff the file is new/empty —
+        # the reference keys this on epoch == 0, which duplicates the header
+        # when a run restarts from scratch over an existing log (SURVEY.md §7
+        # quirks).
+        write_header = (not os.path.exists(self.log_csv)
+                        or os.path.getsize(self.log_csv) == 0)
         with open(self.log_csv, "a") as f:
             row = {"epoch": epoch}
             row.update(logs)
             writer = DictWriter(f, row.keys())
-            if epoch == 0:
+            if write_header:
                 writer.writeheader()
             writer.writerow(row)
 
