@@ -266,21 +266,90 @@ class NeRF:
             if hasattr(cb, "set_model"):
                 cb.set_model(self)
 
+        # Deferred metric fetching: each step's metrics are tiny device
+        # scalars; fetching them per step would block the host on the device
+        # (one round trip per step — dominant on a tunneled TPU) and kill
+        # dispatch pipelining. Unless a verbose callback actually consumes
+        # per-batch metrics (the monitor's debug renders), steps are enqueued
+        # back-to-back and metrics come to host ONCE per epoch.
+        eager_metrics = any(
+            hasattr(cb, "on_train_batch_end") and getattr(cb, "verbose", True)
+            for cb in callbacks)
+
         history = []
         for epoch in range(initial_epoch, epochs):
             for tracker in (*self.metrics.values(),
                             *self.val_metrics.values()):
                 tracker.reset()
 
-            for batch_idx, batch in enumerate(train_dataset):
-                step_metrics = self.train_step(batch)
-                for cb in callbacks:
-                    if hasattr(cb, "on_train_batch_end"):
-                        cb.on_train_batch_end(batch_idx, step_metrics)
+            # Per-batch live progress (the reference gets this implicitly
+            # from the Keras fit progress bar).
+            batches = train_dataset
+            bar = None
+            total = (len(train_dataset)
+                     if hasattr(train_dataset, "__len__") else None)
+            if verbose:
+                from tqdm import tqdm
+                bar = tqdm(train_dataset, desc=f"Epoch {epoch + 1}/{epochs}",
+                           unit="batch", leave=False, total=total)
+                batches = bar
+            # In lazy mode, refresh the live numbers a bounded number of
+            # times per epoch (each refresh is one device sync).
+            postfix_every = max(1, (total or 10) // 4)
+
+            pending = []
+            for batch_idx, batch in enumerate(batches):
+                if eager_metrics:
+                    step_metrics = self.train_step(batch)
+                    for cb in callbacks:
+                        if hasattr(cb, "on_train_batch_end"):
+                            cb.on_train_batch_end(batch_idx, step_metrics)
+                else:
+                    self.state, metrics = self._train_step(
+                        self.state, batch, self._next_key())
+                    pending.append(metrics)
+                    if bar is None or (batch_idx + 1) % postfix_every:
+                        continue
+                    step_metrics = {k: float(v) for k, v in metrics.items()}
+                if bar is not None:
+                    bar.set_postfix(
+                        {"fine_loss": f"{step_metrics['fine_loss']:.2e}",
+                         "fine_psnr": f"{step_metrics['fine_psnr']:.2f}",
+                         "rays/s": f"{self.num_rays * (batch_idx + 1) / max(bar.format_dict['elapsed'], 1e-9):,.0f}"})
+            if bar is not None:
+                bar.close()
+
+            if pending:
+                # One host fetch for the whole epoch's step metrics.
+                fetched = jax.device_get(pending)
+                for batch_idx, step_metrics in enumerate(fetched):
+                    for k, v in step_metrics.items():
+                        if k in self.metrics:
+                            self.metrics[k].update(float(v))
+                    for name in ("coarse_grad_norm", "fine_grad_norm"):
+                        g = step_metrics.get(name)
+                        if g is not None and (
+                                g == 0.0 or not np.isfinite(g)):
+                            logging.warning(
+                                "%s = %s (epoch %d batch %d)",
+                                name, g, epoch, batch_idx)
+                    for cb in callbacks:
+                        if hasattr(cb, "on_train_batch_end"):
+                            cb.on_train_batch_end(
+                                batch_idx,
+                                {k: float(v)
+                                 for k, v in step_metrics.items()})
 
             if validation_data is not None:
-                for batch in validation_data:
-                    self.test_step(batch)
+                # Same deferred fetch for validation: enqueue every eval
+                # step, sync once.
+                val_pending = [
+                    self._eval_step(self.state, batch, self._eval_key)
+                    for batch in validation_data]
+                for step_metrics in jax.device_get(val_pending):
+                    for k, v in step_metrics.items():
+                        if k in self.val_metrics:
+                            self.val_metrics[k].update(float(v))
 
             logs = {k: t.result() for k, t in self.metrics.items()}
             logs.update({f"val_{k}": t.result()
