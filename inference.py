@@ -42,6 +42,10 @@ def main():
     # Output Directory
     parser.add_argument('--output_dir', type=str, default='output')
     parser.add_argument('--output_freq', type=int, default=10)
+    parser.add_argument('--frame_batch', type=int, default=1,
+                        help='render this many orbit frames per device call '
+                             '(throughput knob; 1 = frame-at-a-time like the '
+                             'reference)')
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
 
@@ -79,8 +83,9 @@ def main():
     nerf = NeRF(
         model_path=args.model_dirs,
         compute_dtype='bfloat16' if args.mixed_precision else 'float32')
+    fb = max(1, args.frame_batch)
     nerf.compile(
-        batch_size=1,
+        batch_size=fb,
         image_height=args.img_wh,
         image_width=args.img_wh,
         ray_chunks=args.ray_chunks,
@@ -94,19 +99,25 @@ def main():
 
     frames, depth_frames = [], []
     key = jax.random.PRNGKey(42)
-    for i, theta in enumerate(tqdm(thetas, desc='Rendering orbit')):
-        c2w = pose_spherical(float(theta), args.phi, args.z_translate)
+    for i in tqdm(range(0, len(thetas), fb), desc='Rendering orbit'):
+        group = thetas[i:i + fb]
+        # Pad the last group by repeating the final pose (extras dropped) so
+        # the compiled batch shape is static.
+        padded = group + [group[-1]] * (fb - len(group))
+        c2w = np.stack([np.asarray(pose_spherical(
+            float(t), args.phi, args.z_translate)) for t in padded])
         rays = generate_ray_batch(
-            np.asarray(c2w)[None], jax.random.fold_in(key, i),
+            c2w, jax.random.fold_in(key, i),
             image_height=args.img_wh, image_width=args.img_wh,
             focal=focal, near=args.near, far=args.far,
             n_samples=nerf.config.n_coarse)
         _, fine = nerf.predict_and_render_images(rays, with_weights=False)
-        frame = np.asarray(fine['image'][0])
-        frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
-        depth = np.asarray(fine['depth'][0])
-        d = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
-        depth_frames.append((d * 255).astype(np.uint8))
+        images = np.asarray(fine['image'])[:len(group)]
+        depths = np.asarray(fine['depth'])[:len(group)]
+        for frame, depth in zip(images, depths):
+            frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
+            d = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
+            depth_frames.append((d * 255).astype(np.uint8))
 
     os.makedirs(args.output_dir, exist_ok=True)
     gif_path = os.path.join(args.output_dir, f'{args.name}.gif')

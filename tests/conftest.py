@@ -24,3 +24,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: many tests compile the same tiny-config step
+# functions (each NeRF.compile() makes fresh jit wrappers); serving those
+# from the on-disk XLA cache instead of recompiling cuts suite wall time
+# sharply on this 1-core box, both within a run and across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

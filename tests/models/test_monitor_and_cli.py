@@ -150,10 +150,12 @@ def test_inference_cli_end_to_end(tmp_path, scene):
     run_training(args)
 
     out_dir = str(tmp_path / "out")
+    # frame_batch=2 over 3 frames also covers the padded final group.
     argv = ["inference.py", "--model_dirs",
             str(tmp_path / "models" / "inf"),
             "--name", "orbit", "--img_wh", "16", "--ray_chunks", "256",
-            "--output_freq", "120", "--output_dir", out_dir]
+            "--output_freq", "120", "--frame_batch", "2",
+            "--output_dir", out_dir]
     old = sys.argv
     try:
         sys.argv = argv
