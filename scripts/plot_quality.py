@@ -33,8 +33,9 @@ import matplotlib.pyplot as plt  # noqa: E402
 BLUE, ORANGE, GRAY = "#1f77b4", "#ff7f0e", "#777777"
 
 _EPOCH_RE = re.compile(
-    r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d+ \| root \| INFO \| "
+    r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),\d+ \| root \| INFO \| "
     r"epoch (\d+):")
+_METRIC_RE = re.compile(r"(\w+)=([0-9.]+)")
 
 
 def read_log_csv(path: str) -> dict[str, list[float]]:
@@ -46,19 +47,35 @@ def read_log_csv(path: str) -> dict[str, list[float]]:
     return cols
 
 
-def read_epoch_times(run_log: str) -> dict[int, float]:
-    """epoch -> seconds since the first epoch line (start-of-training)."""
+def read_run_log(run_log: str):
+    """Per-EPOCH metrics + wall-clock from the CLI's logging lines.
+
+    Returns ``(cols, times)``: metric columns keyed like log.csv (epoch
+    granularity 1, where log.csv only has update_freq rows) and
+    ``{epoch: seconds since the first epoch line}``.
+    """
     stamps: dict[int, datetime] = {}
+    metrics: dict[int, dict[str, float]] = {}
     with open(run_log, errors="replace") as f:
         for line in f:
-            m = _EPOCH_RE.match(line)
-            if m:
-                stamps[int(m.group(2))] = datetime.strptime(
-                    m.group(1), "%Y-%m-%d %H:%M:%S")
+            m = _EPOCH_RE.search(line)
+            if not m:
+                continue
+            epoch = int(m.group(2))
+            stamps[epoch] = datetime.strptime(
+                m.group(1), "%Y-%m-%d %H:%M:%S")
+            metrics[epoch] = {
+                k: float(v)
+                for k, v in _METRIC_RE.findall(line[m.end():])}
     if not stamps:
-        return {}
+        return {}, {}
     t0 = min(stamps.values())
-    return {e: (t - t0).total_seconds() for e, t in stamps.items()}
+    times = {e: (t - t0).total_seconds() for e, t in stamps.items()}
+    epochs = sorted(metrics)
+    cols = {"epoch": [float(e) for e in epochs]}
+    for k in metrics[epochs[0]]:
+        cols[k] = [metrics[e][k] for e in epochs]
+    return cols, times
 
 
 def milestone_table(epochs, val_psnr, times: dict[int, float],
@@ -86,9 +103,15 @@ def main():
     ap.add_argument("--title", default="synthetic scene 128x128, v5e-1")
     args = ap.parse_args()
 
-    cols = read_log_csv(args.log_csv)
+    times: dict[int, float] = {}
+    cols: dict[str, list[float]] = {}
+    if args.run_log:
+        # Prefer per-epoch metrics from the run log (log.csv rows only
+        # appear every update_freq epochs).
+        cols, times = read_run_log(args.run_log)
+    if not cols:
+        cols = read_log_csv(args.log_csv)
     epochs = cols["epoch"]
-    times = read_epoch_times(args.run_log) if args.run_log else {}
 
     fig, ax = plt.subplots(figsize=(8, 4.5), dpi=150)
     ax.plot(epochs, cols["coarse_psnr"], color=BLUE, lw=2,
