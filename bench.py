@@ -89,7 +89,8 @@ def bench_render(args):
         n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
         white_background=True,
         compute_dtype="float32" if args.fp32 else "bfloat16",
-        use_pallas=False if args.xla else None)
+        use_pallas=False if args.xla else None,
+        fast_render=args.fast_render)
     coarse, fine = engine.init_params(jax.random.PRNGKey(0), config)
     _, rays = make_batch(1, args.img_wh, args.img_wh, config.n_coarse,
                          jax.random.PRNGKey(1))
@@ -134,6 +135,9 @@ def main():
                         help="per-pass ray chunk (0 = whole batch in one "
                              "fused pass; needs ~32 GB HBM at 128^2 train)")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--fast_render", type=int, default=0,
+                        help="render mode only: opt-in importance-only fine "
+                             "pass with this many samples (0 = exact)")
     parser.add_argument("--xla", action="store_true",
                         help="force the pure-XLA path (default: fused "
                              "Pallas kernels on TPU backends)")

@@ -78,6 +78,15 @@ class NeRFConfig:
     # forces them (raises if the architecture is outside the kernel shape
     # envelope); False forces the pure-XLA path.
     use_pallas: bool | None = None
+    # Opt-in fast NOVEL-VIEW rendering (inference only; training/eval math
+    # is untouched): the fine pass evaluates `fast_render` importance
+    # (inverse-CDF) samples INSTEAD of the reference's
+    # sort(concat(coarse, fine)) — the n_coarse uniform samples already
+    # evaluated by the coarse pass are not re-evaluated by the fine MLP.
+    # Point count per ray drops from n_coarse + (n_coarse + n_fine) to
+    # n_coarse + fast_render. 0 = off (exact reference math). Measured
+    # quality cost on a trained model: docs/QUALITY.md.
+    fast_render: int = 0
 
     @property
     def mlp(self) -> MLPConfig:
@@ -206,9 +215,17 @@ def render_chunk(
         # — identical sampling distribution, no 192-wide sort network on the
         # hot path (ops/sampling.py: sample_pdf_sorted / merge_sorted).
         mids = midpoints(coarse_points)
-        fine_points = sample_pdf_sorted(
-            key, mids, jax.lax.stop_gradient(coarse_weights), config.n_fine)
-        points = merge_sorted(coarse_points, fine_points)
+        if config.fast_render > 0:
+            # Opt-in fast render: importance samples only, no coarse merge
+            # (train/eval paths zero this field — see train_step/eval_step).
+            points = sample_pdf_sorted(
+                key, mids, jax.lax.stop_gradient(coarse_weights),
+                config.fast_render)
+        else:
+            fine_points = sample_pdf_sorted(
+                key, mids, jax.lax.stop_gradient(coarse_weights),
+                config.n_fine)
+            points = merge_sorted(coarse_points, fine_points)
     else:
         points = coarse_points
 
@@ -403,8 +420,12 @@ def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
     weights_c = out_c[2]
 
     mids = midpoints(coarse_points)
-    fine_points = sample_pdf_sorted(key, mids, weights_c, config.n_fine)
-    points = merge_sorted(coarse_points, fine_points)
+    if not with_grad and config.fast_render > 0:
+        # Opt-in fast render: importance samples only (no coarse merge).
+        points = sample_pdf_sorted(key, mids, weights_c, config.fast_render)
+    else:
+        fine_points = sample_pdf_sorted(key, mids, weights_c, config.n_fine)
+        points = merge_sorted(coarse_points, fine_points)
     # The fine pass's weights are only needed when the caller wants them in
     # the render dict (the train pass and metric-only eval never consume
     # them) — skipping them saves a large [R*S, 128] HBM write per chunk.
@@ -460,6 +481,9 @@ def train_step(
     """
     if loss_fn is None:
         loss_fn = mse_loss
+    # Training math is always exact — the opt-in fast-render approximation
+    # applies to novel-view rendering only.
+    config = dataclasses.replace(config, fast_render=0)
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     images, rays = batch
@@ -582,6 +606,8 @@ def eval_step(
     """Chunked full inference + metrics (`NeRF.test_step`, `nerf.py:475-497`)."""
     if loss_fn is None:
         loss_fn = mse_loss
+    # Eval metrics always use the exact reference math (comparable PSNR).
+    config = dataclasses.replace(config, fast_render=0)
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     images, rays = batch

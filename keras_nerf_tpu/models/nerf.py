@@ -82,7 +82,7 @@ class NeRF:
                 is_training: bool = True, learning_rate: float = 1e-3,
                 lr_final: float = 0.0, lr_decay_steps: int = 0,
                 seed: int = 42, mesh=None, use_pallas: bool | None = None,
-                **_):
+                fast_render: int = 0, **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
         Mirrors `nerf.py:78-114`: clamps ``ray_chunks`` to ``num_rays``,
@@ -103,7 +103,8 @@ class NeRF:
             **{**self.config.to_model_config(),
                "white_background": white_background,
                "compute_dtype": self.config.compute_dtype,
-               "use_pallas": use_pallas})
+               "use_pallas": use_pallas,
+               "fast_render": fast_render})
         self.batch_size = batch_size
         self.image_height = image_height
         self.image_width = image_width

@@ -10,13 +10,15 @@ Sync is a host scalar fetch (block_until_ready does not block on axon).
 """
 
 import argparse
+import os
+import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-
-import os
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 from keras_nerf_tpu.data.synthetic import random_ray_batch
 from keras_nerf_tpu.kernels import pack_mlp_params

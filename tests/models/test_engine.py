@@ -251,3 +251,47 @@ def test_exponential_lr_schedule():
     t = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 8), (1, 4, 4, 8))
     m = nerf.train_step((images, (o, d, t)))
     assert np.isfinite(m["fine_loss"])
+
+
+def test_fast_render_is_render_only(cfg, state, toy_batch):
+    """config.fast_render approximates NOVEL-VIEW rendering only: train and
+    eval paths must be bit-identical with it set, and the fast render itself
+    must produce the fine pass from importance samples alone."""
+    import dataclasses
+
+    fast_cfg = dataclasses.replace(cfg, fast_render=8)
+    key = jax.random.PRNGKey(3)
+
+    # Train step: identical gradients/metrics with or without the flag.
+    opt = engine.make_optimizer("sgd", 1e-2)
+    s0 = engine.init_train_state(jax.random.PRNGKey(7), cfg, opt)
+    s_exact, m_exact = engine.train_step(
+        s0, toy_batch, key, optimizer=opt, config=cfg, ray_chunks=64)
+    s1 = engine.init_train_state(jax.random.PRNGKey(7), cfg, opt)
+    s_fast, m_fast = engine.train_step(
+        s1, toy_batch, key, optimizer=opt, config=fast_cfg, ray_chunks=64)
+    jax.tree.map(np.testing.assert_array_equal,
+                 s_exact.fine_params, s_fast.fine_params)
+    np.testing.assert_array_equal(m_exact["fine_loss"], m_fast["fine_loss"])
+
+    # Eval step: identical metrics.
+    e_exact = engine.eval_step(s_exact, toy_batch, key, config=cfg,
+                               ray_chunks=64)
+    e_fast = engine.eval_step(s_fast, toy_batch, key, config=fast_cfg,
+                              ray_chunks=64)
+    np.testing.assert_array_equal(e_exact["fine_psnr"], e_fast["fine_psnr"])
+
+    # The fast render runs, differs from exact (fewer fine samples), and the
+    # fine weights have fast_render entries per ray.
+    _, rays = toy_batch
+    out_c, out_f = engine.render_image_batch(
+        state.coarse_params, state.fine_params, rays, key, fast_cfg,
+        ray_chunks=64)
+    assert out_f["weights"].shape == (2, 8, 8, 8)
+    assert np.isfinite(np.asarray(out_f["image"])).all()
+    _, out_f_exact = engine.render_image_batch(
+        state.coarse_params, state.fine_params, rays, key, cfg,
+        ray_chunks=64)
+    assert not np.allclose(out_f["image"], out_f_exact["image"])
+    # Coarse pass is untouched by the flag.
+    _, _ = out_c, out_f
