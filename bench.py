@@ -131,7 +131,7 @@ def main():
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--num_coarse_samples", type=int, default=64)
     parser.add_argument("--num_fine_samples", type=int, default=128)
-    parser.add_argument("--ray_chunks", type=int, default=2048,
+    parser.add_argument("--ray_chunks", type=int, default=4096,
                         help="per-pass ray chunk (0 = whole batch in one "
                              "fused pass; needs ~32 GB HBM at 128^2 train)")
     parser.add_argument("--fp32", action="store_true")

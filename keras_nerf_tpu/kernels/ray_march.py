@@ -859,9 +859,22 @@ def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
     Semantics match `ops/rendering.py: render_rays` (reference
     `utils.py:17-58`): eps-padded last delta (delta3 arrives padded from
     XLA), exclusive cumprod of ``1 - alpha + eps``, white completion, clip.
+
+    Numerical note: ``y`` is computed DIRECTLY as ``exp(-sigma*delta) +
+    eps`` rather than the reference's literal ``1 - alpha + eps``. The two
+    are the same real number, but the literal form (a) loses a ULP to the
+    1 - (1 - e) double rounding and (b) gets constant-folded to ``1 -
+    alpha`` by the Pallas interpret pipeline's reassociation (measured:
+    ``1.0 - alpha + 1e-10`` == 0.0 exactly for alpha == 1 under
+    interpret=True, while real TPU Mosaic preserves the eps) — and a zero
+    ``y`` turns the backward's ``suffix / y`` into inf and ``inf * 0`` into
+    NaN whenever a sample saturates (sigma*delta > ~17.3 makes alpha round
+    to exactly 1.0). The backward uses ``e`` from quad_state wherever the
+    math says ``1 - alpha`` for the same reason.
     """
-    alpha = 1.0 - jnp.exp(-sigma_b * delta3)
-    y = 1.0 - alpha + epsilon
+    e = jnp.exp(-sigma_b * delta3)
+    alpha = 1.0 - e
+    y = e + epsilon
     trans = _cumprod_exclusive_sub(y, s)
     weights = alpha * trans                       # [R_T, S, 128] replicated
 
@@ -872,7 +885,7 @@ def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
         image_raw = image_raw + (1.0 - wsum)
     pre_clip = jnp.where(lane < 3, image_raw, 0.0)
     image = jnp.clip(pre_clip, 0.0, 1.0)
-    return image, weights, (alpha, y, trans, pre_clip)
+    return image, weights, (e, y, trans, pre_clip)
 
 
 def _depth_lane3(weights, t3, image):
@@ -893,7 +906,7 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
 
     Returns ``(d_rgb3 [R_T, S, 128] lanes 0..2, d_sigma3 replicated)``.
     """
-    alpha, y, trans, pre_clip = quad_state
+    e, y, trans, pre_clip = quad_state
     # clip backward: pass where strictly inside (0, 1).
     inside = jnp.logical_and(pre_clip > 0.0, pre_clip < 1.0)
     d_pre = jnp.where(inside, d_image, 0.0)       # [R_T, 128], lanes 0..2
@@ -909,7 +922,9 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
 
     suffix = _suffix_sum_sub(weights * d_w, s)
     d_alpha = trans * d_w - suffix / y
-    d_sigma3 = d_alpha * delta3 * (1.0 - alpha)
+    # (1 - alpha) == e, used directly: recomputing it from alpha loses the
+    # saturated tail to cancellation (alpha == 1 -> 0 instead of ~1e-9).
+    d_sigma3 = d_alpha * delta3 * e
     return d_rgb3, d_sigma3
 
 
