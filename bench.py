@@ -97,11 +97,22 @@ def bench_render(args):
     num_rays = args.img_wh * args.img_wh
     ray_chunks = min(args.ray_chunks or num_rays, num_rays)
 
-    # The novel-view path the inference CLI uses: image + depth only.
-    render = jax.jit(
-        lambda pc, pf, r, k: engine.render_image_batch(
-            pc, pf, r, k, config, ray_chunks,
-            with_weights=False)[1]["image"])
+    if args.occupancy_grid > 0:
+        # Occupancy-accelerated path (random weights bake to a mostly-empty
+        # grid; bench with real checkpoints via inference.py for quality).
+        from keras_nerf_tpu.ops import occupancy as occ_mod
+        density = occ_mod.model_density_fn(fine, config)
+        grid = occ_mod.bake_occupancy_grid(density, args.occupancy_grid)
+        render = jax.jit(
+            lambda pc, pf, r, k: occ_mod.render_image_batch_occ(
+                pf, r, grid, k, config, n_samples=args.occupancy_samples,
+                ray_chunks=ray_chunks)["image"])
+    else:
+        # The novel-view path the inference CLI uses: image + depth only.
+        render = jax.jit(
+            lambda pc, pf, r, k: engine.render_image_batch(
+                pc, pf, r, k, config, ray_chunks,
+                with_weights=False)[1]["image"])
 
     key = jax.random.PRNGKey(2)
     for i in range(args.warmup):
@@ -138,6 +149,10 @@ def main():
     parser.add_argument("--fast_render", type=int, default=0,
                         help="render mode only: opt-in importance-only fine "
                              "pass with this many samples (0 = exact)")
+    parser.add_argument("--occupancy_grid", type=int, default=0,
+                        help="render mode only: opt-in G^3 occupancy-grid "
+                             "empty-space skipping (0 = off)")
+    parser.add_argument("--occupancy_samples", type=int, default=64)
     parser.add_argument("--xla", action="store_true",
                         help="force the pure-XLA path (default: fused "
                              "Pallas kernels on TPU backends)")

@@ -52,6 +52,13 @@ def main():
                              'sample merge). 0 = exact reference math. '
                              '96 is ~1.6x faster at negligible PSNR cost '
                              '(docs/QUALITY.md)')
+    parser.add_argument('--occupancy_grid', type=int, default=0,
+                        help='OPT-IN: bake a G^3 occupancy grid from the '
+                             'trained model and render with empty-space '
+                             'skipping (fine model only, --occupancy_samples '
+                             'MLP evals/ray). 0 = off. 64 is the measured '
+                             'sweet spot (docs/QUALITY.md)')
+    parser.add_argument('--occupancy_samples', type=int, default=64)
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
 
@@ -104,6 +111,9 @@ def main():
     focal = get_focal_from_fov(args.fov, args.img_wh)
     thetas = list(range(0, 360, args.output_freq))
 
+    if args.occupancy_grid > 0:
+        nerf.bake_occupancy(args.occupancy_grid)
+
     frames, depth_frames = [], []
     key = jax.random.PRNGKey(42)
     for i in tqdm(range(0, len(thetas), fb), desc='Rendering orbit'):
@@ -118,7 +128,12 @@ def main():
             image_height=args.img_wh, image_width=args.img_wh,
             focal=focal, near=args.near, far=args.far,
             n_samples=nerf.config.n_coarse)
-        _, fine = nerf.predict_and_render_images(rays, with_weights=False)
+        if args.occupancy_grid > 0:
+            fine = nerf.render_occupancy(
+                rays, near=args.near, far=args.far,
+                n_samples=args.occupancy_samples)
+        else:
+            _, fine = nerf.predict_and_render_images(rays, with_weights=False)
         images = np.asarray(fine['image'])[:len(group)]
         depths = np.asarray(fine['depth'])[:len(group)]
         for frame, depth in zip(images, depths):

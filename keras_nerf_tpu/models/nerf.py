@@ -228,6 +228,42 @@ class NeRF:
             return self._render(*args)
         return self._render(*args, with_weights=with_weights)
 
+    # --------------------------------------------- occupancy-grid rendering
+
+    def bake_occupancy(self, grid_size: int = 64, sigma_threshold: float = 1.0,
+                       dilate: int = 1, aabb=None) -> "jax.Array":
+        """Bake a binary occupancy grid from the trained FINE model's
+        density (opt-in novel-view acceleration; `ops/occupancy.py`)."""
+        self._require_compiled()
+        from keras_nerf_tpu.ops import occupancy as occ_mod
+        aabb = occ_mod.DEFAULT_AABB if aabb is None else aabb
+        density = occ_mod.model_density_fn(self.state.fine_params,
+                                           self.config)
+        self.occ_grid = occ_mod.bake_occupancy_grid(
+            density, grid_size, aabb, sigma_threshold, dilate)
+        self._occ_aabb = aabb
+        logging.info("Baked %d^3 occupancy grid: %.1f%% occupied",
+                     grid_size, 100.0 * float(jnp.mean(self.occ_grid)))
+        return self.occ_grid
+
+    def render_occupancy(self, rays, key=None, near: float = 2.0,
+                         far: float = 6.0, n_samples: int = 64,
+                         n_probe: int = 64) -> dict:
+        """Occupancy-accelerated novel-view render (fine model only,
+        ``n_samples`` MLP evaluations per ray inside occupied space).
+        Returns a fine-style dict ``{'image', 'depth'}``. Requires
+        :meth:`bake_occupancy` first."""
+        self._require_compiled()
+        if getattr(self, "occ_grid", None) is None:
+            raise RuntimeError("call bake_occupancy() before "
+                               "render_occupancy()")
+        from keras_nerf_tpu.ops import occupancy as occ_mod
+        return occ_mod.render_image_batch_occ(
+            self.state.fine_params, rays, self.occ_grid,
+            key if key is not None else self._eval_key, self.config,
+            near=near, far=far, n_samples=n_samples, n_probe=n_probe,
+            ray_chunks=self.ray_chunks, aabb=self._occ_aabb)
+
     def evaluate(self, dataset, key=None) -> dict[str, float]:
         """Run test_step over a dataset; returns mean metrics (the Keras
         ``evaluate`` equivalent over the engine's `nerf.py:475-497` path)."""

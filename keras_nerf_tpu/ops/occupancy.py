@@ -1,0 +1,265 @@
+"""Occupancy-grid accelerated novel-view rendering (opt-in).
+
+NerfAcc-style empty-space skipping (PAPERS.md), reshaped for the TPU's
+dense/static-shape execution model:
+
+* :func:`bake_occupancy_grid` evaluates the trained fine model's density on
+  a dense voxel grid over the scene AABB (one fused forward, ~2 TFLOP at
+  128**3) and thresholds + dilates it into a binary occupancy volume;
+* :func:`occupancy_along_rays` marches D uniform probe bins per ray and
+  gathers nearest-voxel occupancy — a [R, D] weight field;
+* :func:`sample_occupied` inverts that field with the SAME sorted
+  inverse-CDF machinery the fine pass uses (`ops/sampling.py`), so all K
+  MLP samples land inside occupied space (uniform over it, exact within
+  half a probe bin).
+
+Rendering then needs only K MLP evaluations per ray instead of the exact
+path's n_coarse + (n_coarse + n_fine) — the coarse pass disappears
+entirely. Static shapes throughout: no per-ray variable sample counts, no
+compaction; empty rays degrade to a uniform spread (weights + 1e-5) and
+render background.
+
+This changes the math vs the reference (`keras_nerf/model/nerf/nerf.py:
+175-216` always evaluates the dense coarse march), so it is strictly
+opt-in for novel-view rendering: training and eval metrics never touch it.
+Measured quality/throughput on a trained model: docs/QUALITY.md.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from keras_nerf_tpu.ops.sampling import midpoints, sample_pdf_sorted
+
+# The Blender `nerf_synthetic` cameras orbit at radius ~4 looking at the
+# origin with near/far 2..6: the object sits well inside [-2, 2]^3.
+DEFAULT_AABB = ((-2.0, -2.0, -2.0), (2.0, 2.0, 2.0))
+
+
+def grid_coordinates(grid_size: int, aabb=DEFAULT_AABB) -> jnp.ndarray:
+    """Voxel-center world coordinates ``[G, G, G, 3]``."""
+    lo = jnp.asarray(aabb[0], jnp.float32)
+    hi = jnp.asarray(aabb[1], jnp.float32)
+    axes = [
+        lo[i] + (hi[i] - lo[i]) * (jnp.arange(grid_size) + 0.5) / grid_size
+        for i in range(3)
+    ]
+    x, y, z = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def dilate_occupancy(occ: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """Binary 6-neighbourhood max-pool dilation of ``[G, G, G]``.
+
+    Guards against thin surfaces falling between voxel centers and against
+    the half-probe-bin placement error of :func:`sample_occupied`.
+    """
+    for _ in range(iterations):
+        shifted = [occ]
+        for axis in range(3):
+            shifted.append(jnp.roll(occ, 1, axis=axis).at[
+                tuple(slice(0, 1) if a == axis else slice(None)
+                      for a in range(3))].set(0.0))
+            shifted.append(jnp.roll(occ, -1, axis=axis).at[
+                tuple(slice(-1, None) if a == axis else slice(None)
+                      for a in range(3))].set(0.0))
+        occ = jnp.max(jnp.stack(shifted), axis=0)
+    return occ
+
+
+def bake_occupancy_grid(
+    density_fn,
+    grid_size: int = 128,
+    aabb=DEFAULT_AABB,
+    sigma_threshold: float = 1.0,
+    dilate: int = 1,
+) -> jnp.ndarray:
+    """Evaluate ``density_fn([N, 3]) -> sigma [N]`` on the voxel grid and
+    threshold into a binary ``[G, G, G]`` float occupancy volume.
+
+    ``sigma_threshold`` is in raw density units: a voxel contributes alpha
+    ``1 - exp(-sigma * delta)`` per unit step, so 1.0 marks anything with
+    non-negligible absorption at the scene's length scale. ``dilate``
+    max-pools the result to cover thin features.
+    """
+    coords = grid_coordinates(grid_size, aabb).reshape(-1, 3)
+    sigma = density_fn(coords).reshape(grid_size, grid_size, grid_size)
+    occ = (sigma > sigma_threshold).astype(jnp.float32)
+    if dilate > 0:
+        occ = dilate_occupancy(occ, dilate)
+    return occ
+
+
+def model_density_fn(params, config, *, use_pallas: bool | None = None,
+                     chunk: int = 262144):
+    """The trained model's ``positions -> sigma`` (view direction is
+    irrelevant to sigma — `keras_nerf/model/nerf/mlp.py:17-18,40`)."""
+    from keras_nerf_tpu.models import engine as _engine
+    from keras_nerf_tpu.models.mlp import apply_mlp
+    from keras_nerf_tpu.ops.encoding import encode_position_and_directions
+
+    resolved = _engine.resolve_use_pallas(config) if use_pallas is None \
+        else use_pallas
+
+    @jax.jit
+    def one_chunk(p, d):
+        if resolved:
+            from keras_nerf_tpu.kernels import fused_point_forward
+            _, sigma = fused_point_forward(
+                params, p, d, config.mlp, config.pos_emb_xyz,
+                config.pos_emb_dir)
+            return sigma[:, 0]
+        # encode at t=0 along a dummy direction: position is p itself.
+        enc_xyz, enc_dir = encode_position_and_directions(
+            p, d, jnp.zeros((p.shape[0], 1), p.dtype),
+            config.pos_emb_xyz, config.pos_emb_dir)
+        _, sigma = apply_mlp(params, enc_xyz[:, 0], enc_dir[:, 0],
+                             config.mlp, config.dtype)
+        return sigma[:, 0]
+
+    def density(positions: jnp.ndarray) -> jnp.ndarray:
+        # Host-side chunk loop (the bake is a one-off outside jit): a
+        # device-side lax.map over the pallas forward tickles an XLA-TPU
+        # priority-fusion compiler crash (SIGILL in
+        # TpuPriorityFusionQueue::NormalizedComputationCost) at 2M points.
+        n = positions.shape[0]
+        dirs = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, -1.0], positions.dtype), positions.shape)
+        if n <= chunk:
+            return one_chunk(positions, dirs)
+        assert n % chunk == 0, (n, chunk)
+        outs = [one_chunk(positions[i:i + chunk], dirs[i:i + chunk])
+                for i in range(0, n, chunk)]
+        return jnp.concatenate(outs)
+
+    return density
+
+
+def occupancy_along_rays(
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    occ_grid: jnp.ndarray,
+    near: float,
+    far: float,
+    n_probe: int,
+    aabb=DEFAULT_AABB,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """March ``n_probe`` uniform bins per ray, gathering nearest-voxel
+    occupancy at each bin center.
+
+    Args:
+      origin/direction: ``[R, 3]``.
+      occ_grid: ``[G, G, G]`` binary floats from :func:`bake_occupancy_grid`.
+
+    Returns:
+      ``(bin_mids [R, n_probe], occ [R, n_probe])``; points outside the
+      AABB read as empty.
+    """
+    g = occ_grid.shape[0]
+    edges = jnp.linspace(near, far, n_probe + 1, dtype=jnp.float32)
+    mids = 0.5 * (edges[1:] + edges[:-1])                     # [D]
+    pts = origin[:, None, :] + direction[:, None, :] * mids[None, :, None]
+
+    lo = jnp.asarray(aabb[0], jnp.float32)
+    hi = jnp.asarray(aabb[1], jnp.float32)
+    rel = (pts - lo) / (hi - lo)                              # [R, D, 3]
+    idx = jnp.floor(rel * g).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < g), axis=-1)
+    idx = jnp.clip(idx, 0, g - 1)
+    occ = occ_grid[idx[..., 0], idx[..., 1], idx[..., 2]]
+    occ = jnp.where(inside, occ, 0.0)
+    return jnp.broadcast_to(mids, occ.shape), occ
+
+
+def sample_occupied(
+    key: jax.Array,
+    bin_mids: jnp.ndarray,
+    occ: jnp.ndarray,
+    n_samples: int,
+) -> jnp.ndarray:
+    """Draw ``n_samples`` sorted depths per ray, uniform over the occupied
+    bins (inverse-CDF over the occupancy indicator; the ``weights + 1e-5``
+    stabilizer makes all-empty rays degrade to a uniform spread).
+
+    ``sample_pdf_sorted`` wants one more weight than bin coordinate (the
+    reference's full-coarse-weights contract, `nerf.py:186-187`): the D
+    occupancy bins play the weights role over the D-1 interior midpoints.
+    """
+    return sample_pdf_sorted(key, midpoints(bin_mids), occ, n_samples)
+
+
+def _render_points_chunk(params, origin, direction, points, key, config):
+    """Forward + quadrature over explicit per-ray depths (fused kernel on
+    TPU, XLA elsewhere) -> ``RenderOutput`` (weights omitted)."""
+    from keras_nerf_tpu.models import engine as _engine
+    from keras_nerf_tpu.ops.rendering import RenderOutput
+
+    if _engine._use_fused_train(config, None):
+        from keras_nerf_tpu.kernels import pack_mlp_params
+        from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
+
+        packed = pack_mlp_params(params, config.mlp, config.pos_emb_xyz,
+                                 config.pos_emb_dir)
+        image, depth, _ = fused_train_chunk(
+            packed, origin, direction, points, None, config.mlp,
+            pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
+            white_background=config.white_background, with_grad=False,
+            emit_weights=False)[:3]
+        return RenderOutput(image=image, depth=depth, weights=None)
+    out, _ = _engine.render_chunk(params, origin, direction, points, key,
+                                  config)
+    return out
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "near", "far", "n_samples",
+                              "n_probe", "ray_chunks", "aabb"))
+def render_image_batch_occ(
+    fine_params,
+    rays,
+    occ_grid: jnp.ndarray,
+    key: jax.Array,
+    config,
+    near: float = 2.0,
+    far: float = 6.0,
+    n_samples: int = 64,
+    n_probe: int = 64,
+    ray_chunks: int = 8192,
+    aabb=DEFAULT_AABB,
+) -> dict:
+    """Full-image occupancy-accelerated render: ``{'image' [B, H, W, 3],
+    'depth' [B, H, W]}`` using only the FINE model at ``n_samples``
+    MLP evaluations per ray, all placed inside occupied space.
+
+    ``rays`` is the standard ``(origin, direction, points)`` triple; the
+    stratified ``points`` are ignored (occupancy replaces both the coarse
+    march and the importance sampling).
+    """
+    origin, direction = rays[0], rays[1]
+    b, h, w = origin.shape[:3]
+    num_rays = b * h * w
+    ray_chunks = min(ray_chunks, num_rays)
+    assert num_rays % ray_chunks == 0, (num_rays, ray_chunks)
+    nch = num_rays // ray_chunks
+
+    o = origin.reshape(nch, ray_chunks, 3)
+    d = direction.reshape(nch, ray_chunks, 3)
+    keys = jax.random.split(key, nch)
+
+    def body(_, x):
+        oc, dc, k = x
+        mids, occ = occupancy_along_rays(oc, dc, occ_grid, near, far,
+                                         n_probe, aabb)
+        pts = sample_occupied(k, mids, occ, n_samples)
+        out = _render_points_chunk(fine_params, oc, dc, pts, k, config)
+        return None, (out.image, out.depth)
+
+    _, (image, depth) = jax.lax.scan(body, None, (o, d, keys))
+    return {
+        "image": image.reshape(b, h, w, 3),
+        "depth": depth.reshape(b, h, w),
+    }

@@ -1,0 +1,109 @@
+"""Occupancy-grid rendering tier (`ops/occupancy.py`): bake, ray probing,
+occupied-space sampling, and the full render path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.models import engine
+from keras_nerf_tpu.models.engine import NeRFConfig
+from keras_nerf_tpu.ops.occupancy import (
+    bake_occupancy_grid,
+    occupancy_along_rays,
+    render_image_batch_occ,
+    sample_occupied,
+)
+
+
+def sphere_density(p):
+    """Analytic unit sphere at the origin, sigma = 100 inside."""
+    return jnp.where(jnp.linalg.norm(p, axis=-1) < 1.0, 100.0, 0.0)
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return bake_occupancy_grid(sphere_density, grid_size=32, dilate=1)
+
+
+def test_bake_marks_the_sphere(grid):
+    # Unit sphere volume / [-2, 2]^3 volume = (4/3 pi) / 64 ~ 6.5%;
+    # dilation adds a shell.
+    frac = float(grid.mean())
+    assert 0.05 < frac < 0.18
+    # Center voxel occupied, corner voxel empty.
+    assert float(grid[16, 16, 16]) == 1.0
+    assert float(grid[0, 0, 0]) == 0.0
+
+
+def test_samples_land_inside_occupied_span(grid):
+    # Rays from (0, 0, 4) looking along -z hit the sphere for t in [3, 5].
+    r = 8
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (r, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (r, 1))
+    mids, occ = occupancy_along_rays(o, d, grid, 2.0, 6.0, 128)
+    assert mids.shape == occ.shape == (r, 128)
+    # Occupancy is ~0 before t=3 and after t=5 (one probe bin + one dilated
+    # voxel of slack = ~0.2).
+    m = np.asarray(mids[0])
+    oc = np.asarray(occ[0])
+    assert oc[m < 2.7].max() == 0.0
+    assert oc[(m > 3.2) & (m < 4.8)].min() == 1.0
+    assert oc[m > 5.3].max() == 0.0
+
+    pts = sample_occupied(jax.random.PRNGKey(0), mids, occ, 32)
+    assert pts.shape == (r, 32)
+    p = np.asarray(pts)
+    assert (p > 2.6).all() and (p < 5.4).all()
+    assert (np.diff(p, axis=-1) >= 0).all()  # sorted
+
+
+def test_missing_ray_degrades_to_uniform(grid):
+    # A ray that misses the sphere entirely: all-empty occupancy must not
+    # NaN — the +1e-5 stabilizer spreads samples over [near, far].
+    o = jnp.asarray([[1.9, 1.9, 4.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    mids, occ = occupancy_along_rays(o, d, grid, 2.0, 6.0, 64)
+    assert float(occ.max()) == 0.0
+    pts = sample_occupied(jax.random.PRNGKey(1), mids, occ, 16)
+    p = np.asarray(pts)
+    assert np.isfinite(p).all()
+    assert p.min() > 2.0 and p.max() < 6.0
+    assert np.ptp(p) > 1.0  # actually spread out, not collapsed
+
+
+def test_render_image_batch_occ_runs(grid):
+    cfg = NeRFConfig(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                     n_layers=2, dense_units=32, skip_layer=1,
+                     white_background=True)
+    _, fine = engine.init_params(jax.random.PRNGKey(0), cfg)
+    b, h, w = 1, 8, 8
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 8), (b, h, w, 8))
+    out = render_image_batch_occ(fine, (o, d, t), grid,
+                                 jax.random.PRNGKey(2), cfg,
+                                 n_samples=8, n_probe=32, ray_chunks=32)
+    assert out["image"].shape == (b, h, w, 3)
+    assert out["depth"].shape == (b, h, w)
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_nerf_bake_and_render_occupancy():
+    from keras_nerf_tpu.models import NeRF
+
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=32, skip_layer=1)
+    model.compile(batch_size=1, image_height=8, image_width=8,
+                  ray_chunks=64)
+    model.bake_occupancy(grid_size=16, sigma_threshold=0.1, dilate=0)
+    assert model.occ_grid.shape == (16, 16, 16)
+
+    b, h, w = 1, 8, 8
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (b, h, w, 1))
+    t = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 8), (b, h, w, 8))
+    out = model.render_occupancy((o, d, t), n_samples=8, n_probe=32)
+    assert out["image"].shape == (b, h, w, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
