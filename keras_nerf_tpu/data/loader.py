@@ -31,7 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from keras_nerf_tpu.data.image import load_images
-from keras_nerf_tpu.data.rays import generate_ray_batch
+from keras_nerf_tpu.data.rays import (
+    generate_ray_batch,
+    sample_random_ray_batch,
+)
 from keras_nerf_tpu.data.utils import get_focal_from_fov
 
 Batch = tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
@@ -133,6 +136,58 @@ class NeRFDataset:
         return out
 
 
+class RayBatchDataset:
+    """Pixel-sampling train split: every batch draws ``batch*H*W`` rays at
+    random (image, pixel) pairs across ALL images (``--pixel_sampling``;
+    see :func:`keras_nerf_tpu.data.rays.sample_random_ray_batch`).
+
+    Batches have exactly the whole-image element contract — ``(pixels
+    [B, H, W, 4], (origin, direction, points))`` — so the engine, monitor
+    and mesh paths need no changes. An epoch is ``len(self)`` steps, sized
+    so the total rays per epoch equal one pass over every pixel.
+    """
+
+    def __init__(self, images: np.ndarray, poses: np.ndarray, *,
+                 focal: float, near: float, far: float, n_samples: int,
+                 batch_size: int, seed: int = 42, sharding=None):
+        self.images = jnp.asarray(images)
+        self.poses = jnp.asarray(poses, dtype=jnp.float32)
+        self.focal = float(focal)
+        self.near = float(near)
+        self.far = float(far)
+        self.n_samples = int(n_samples)
+        self.batch_size = int(batch_size)
+        self.image_height = images.shape[1]
+        self.image_width = images.shape[2]
+        self.seed = int(seed)
+        self._root_key = jax.random.PRNGKey(seed)
+        self._epoch = 0
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        return max(1, self.images.shape[0] // self.batch_size)
+
+    @property
+    def num_examples(self) -> int:
+        return self.images.shape[0]
+
+    def __iter__(self) -> Iterator[Batch]:
+        epoch_key = jax.random.fold_in(self._root_key, self._epoch)
+        self._epoch += 1
+        for b in range(len(self)):
+            images, rays = sample_random_ray_batch(
+                self.images, self.poses, jax.random.fold_in(epoch_key, b),
+                batch=self.batch_size,
+                image_height=self.image_height,
+                image_width=self.image_width,
+                focal=self.focal, near=self.near, far=self.far,
+                n_samples=self.n_samples)
+            if self.sharding is not None:
+                images = jax.device_put(images, self.sharding)
+                rays = tuple(jax.device_put(r, self.sharding) for r in rays)
+            yield images, rays
+
+
 class DatasetLoader:
     """Parses a Blender scene directory into per-split :class:`NeRFDataset`.
 
@@ -172,8 +227,15 @@ class DatasetLoader:
         n_sample: int,
         seed: int = 42,
         sharding=None,
+        pixel_sampling: bool = False,
     ) -> list[NeRFDataset]:
-        """Load ``(train, val, test)`` datasets (`loader.py:55-113`)."""
+        """Load ``(train, val, test)`` datasets (`loader.py:55-113`).
+
+        ``pixel_sampling=True`` swaps the TRAIN split for a
+        :class:`RayBatchDataset` (random rays across all views per step —
+        faster wall-clock convergence than the reference's whole-image
+        batches); val/test stay whole-image so their metrics are exact.
+        """
         datasets = []
         for split_idx, subset in enumerate(["train", "val", "test"]):
             json_config = self._load_json(
@@ -187,12 +249,20 @@ class DatasetLoader:
                 self.resize_method)
             # Per-split seed offset so --seed controls all data RNG (shuffle
             # order + stratified jitter) without correlating the splits.
-            datasets.append(NeRFDataset(
-                images, camera_params,
-                focal=focal, near=near, far=far, n_samples=n_sample,
-                batch_size=batch_size, shuffle=(subset == "train"),
-                seed=seed + split_idx, sharding=sharding,
-            ))
+            if pixel_sampling and subset == "train":
+                datasets.append(RayBatchDataset(
+                    images, camera_params,
+                    focal=focal, near=near, far=far, n_samples=n_sample,
+                    batch_size=batch_size, seed=seed + split_idx,
+                    sharding=sharding,
+                ))
+            else:
+                datasets.append(NeRFDataset(
+                    images, camera_params,
+                    focal=focal, near=near, far=far, n_samples=n_sample,
+                    batch_size=batch_size, shuffle=(subset == "train"),
+                    seed=seed + split_idx, sharding=sharding,
+                ))
             logging.info("Loaded %s dataset. %d images.",
                          subset, len(image_paths))
         return datasets

@@ -96,3 +96,60 @@ def generate_ray_batch(
             k, (image_height, image_width), n_samples, near, far)
     )(keys)
     return origin, direction, points
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("batch", "image_height", "image_width", "n_samples"),
+)
+def sample_random_ray_batch(
+    images: jnp.ndarray,
+    poses: jnp.ndarray,
+    key: jax.Array,
+    *,
+    batch: int,
+    image_height: int,
+    image_width: int,
+    focal: float | jnp.ndarray,
+    near: float,
+    far: float,
+    n_samples: int,
+):
+    """A training batch of rays drawn at RANDOM (image, pixel) pairs across
+    the WHOLE split — the pixel-sampling mode (``--pixel_sampling``).
+
+    The reference batches whole images (`loader.py:101-107`), so every
+    optimizer step sees rays of only ``batch_size`` viewpoints; sampling
+    rays across all views gives each step full gradient diversity (the
+    original NeRF paper trains this way) and reaches a given PSNR in far
+    less wall-clock. Everything stays device-side: pixel/pose gathers and
+    ray math run in this one jitted call.
+
+    Returns ``(pixels [batch, H, W, 4], (origin, direction, points))`` — a
+    "virtual image" batch with exactly the shapes of a whole-image batch,
+    so the engine, ray chunking and mesh sharding are unchanged. Pixel-wise
+    losses/PSNR are exact; SSIM is computed over scrambled pixels and is
+    not meaningful in this mode.
+    """
+    n = images.shape[0]
+    r = batch * image_height * image_width
+    k_idx, k_t = jax.random.split(key)
+    flat = jax.random.randint(k_idx, (r,), 0, n * image_height * image_width)
+    img_idx = flat // (image_height * image_width)
+    py = (flat // image_width) % image_height
+    px = flat % image_width
+
+    pixels = images[img_idx, py, px]                       # [R, 4]
+    c2w = poses[img_idx]                                   # [R, 4, 4]
+    x_c = (px.astype(jnp.float32) - image_width * 0.5) / focal
+    y_c = (py.astype(jnp.float32) - image_height * 0.5) / focal
+    cam = jnp.stack([x_c, -y_c, -jnp.ones_like(x_c)], axis=-1)
+    direction = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], cam)
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    origin = c2w[:, :3, -1]
+    points = stratified_sample_points(k_t, (r,), n_samples, near, far)
+
+    shape = (batch, image_height, image_width)
+    return (pixels.reshape(*shape, 4),
+            (origin.reshape(*shape, 3), direction.reshape(*shape, 3),
+             points.reshape(*shape, n_samples)))

@@ -86,3 +86,78 @@ def test_non_square_rays():
         c2w[None], jax.random.PRNGKey(0), image_height=8, image_width=16,
         focal=10.0, near=2.0, far=6.0, n_samples=4)
     assert t.shape == (1, 8, 16, 4)
+
+
+def test_sample_random_ray_batch_matches_dense_rays():
+    """Pixel-sampled rays must agree exactly with the dense per-image ray
+    grid at the sampled (image, pixel) coordinates, and pixels with the
+    source images."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keras_nerf_tpu.data.rays import (generate_rays,
+                                          sample_random_ray_batch)
+    from keras_nerf_tpu.data.utils import pose_spherical
+
+    h = w = 8
+    focal = 10.0
+    poses = np.stack([np.asarray(pose_spherical(t, -30.0, 4.0))
+                      for t in (0.0, 90.0, 200.0)])
+    images = np.random.default_rng(0).uniform(
+        size=(3, h, w, 4)).astype(np.float32)
+
+    pixels, (o, d, t) = sample_random_ray_batch(
+        jnp.asarray(images), jnp.asarray(poses), jax.random.PRNGKey(3),
+        batch=1, image_height=h, image_width=w, focal=focal,
+        near=2.0, far=6.0, n_samples=4)
+    assert pixels.shape == (1, h, w, 4)
+    assert o.shape == d.shape == (1, h, w, 3)
+    assert t.shape == (1, h, w, 4)
+    # directions unit-norm, depths sorted within [near, far] envelope
+    assert np.allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                       atol=1e-5)
+    assert (np.diff(np.asarray(t), axis=-1) >= 0).all()
+
+    # Cross-check a handful of rays against the dense grid: find which
+    # (image, pixel) each sampled pixel came from via exact pixel match.
+    dense = [generate_rays(jnp.asarray(p), h, w, focal) for p in poses]
+    px = np.asarray(pixels).reshape(-1, 4)
+    ov = np.asarray(o).reshape(-1, 3)
+    dv = np.asarray(d).reshape(-1, 3)
+    flat_imgs = images.reshape(3, -1, 4)
+    for r in range(0, h * w, 7):
+        hits = np.argwhere(
+            (np.abs(flat_imgs - px[r]).sum(-1) < 1e-7))
+        assert len(hits) >= 1
+        ok = False
+        for n_i, flat_p in hits:
+            py_, px_ = divmod(int(flat_p), w)
+            do, dd = dense[n_i]
+            if (np.allclose(ov[r], np.asarray(do)[py_, px_], atol=1e-5)
+                    and np.allclose(dv[r], np.asarray(dd)[py_, px_],
+                                    atol=1e-5)):
+                ok = True
+        assert ok, f"ray {r} does not match any dense (image, pixel) ray"
+
+
+def test_ray_batch_dataset_epochs_differ():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keras_nerf_tpu.data.loader import RayBatchDataset
+    from keras_nerf_tpu.data.utils import pose_spherical
+
+    poses = np.stack([np.asarray(pose_spherical(t, -30.0, 4.0))
+                      for t in (0.0, 120.0)])
+    images = np.random.default_rng(1).uniform(
+        size=(2, 8, 8, 4)).astype(np.float32)
+    ds = RayBatchDataset(images, poses, focal=10.0, near=2.0, far=6.0,
+                         n_samples=4, batch_size=1, seed=5)
+    assert len(ds) == 2
+    b1 = list(ds)
+    b2 = list(ds)
+    assert len(b1) == 2
+    # Fresh randomness every epoch and every step.
+    assert not np.allclose(np.asarray(b1[0][0]), np.asarray(b1[1][0]))
+    assert not np.allclose(np.asarray(b1[0][0]), np.asarray(b2[0][0]))

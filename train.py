@@ -62,6 +62,12 @@ def main():
     parser.add_argument('--profile_dir', type=str, default='')
     parser.add_argument('--use_pallas', action='store_true',
                         help='force the fused Pallas kernels on (default: auto)')
+    parser.add_argument('--pixel_sampling', action='store_true',
+                        help='train on random rays drawn across ALL images '
+                             'per step instead of whole-image batches '
+                             '(faster wall-clock convergence; the original '
+                             'NeRF paper trains this way). Val/test metrics '
+                             'stay whole-image')
     parser.add_argument('--resize_method', type=str, default='lanczos',
                         choices=['lanczos', 'antialias-bilinear'],
                         help='image resize filter; antialias-bilinear matches '

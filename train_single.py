@@ -67,6 +67,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument('--use_pallas', action='store_true',
                         help='force the fused Pallas kernels on (default: '
                              'auto — ON for TPU backends)')
+    parser.add_argument('--pixel_sampling', action='store_true',
+                        help='train on random rays drawn across ALL images '
+                             'per step instead of whole-image batches '
+                             '(faster wall-clock convergence; the original '
+                             'NeRF paper trains this way). Val/test metrics '
+                             'stay whole-image')
     parser.add_argument('--resize_method', type=str, default='lanczos',
                         choices=['lanczos', 'antialias-bilinear'],
                         help='image resize filter; antialias-bilinear matches '
@@ -117,6 +123,7 @@ def run_training(args, mesh=None):
         far=args.far,
         n_sample=args.num_coarse_samples,
         seed=getattr(args, 'seed', 42),
+        pixel_sampling=getattr(args, 'pixel_sampling', False),
     )
 
     # Resume from the last monitor checkpoint if present (the working
