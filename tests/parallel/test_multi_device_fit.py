@@ -90,3 +90,21 @@ def test_train_cli_with_mesh(tmp_path, scene, monkeypatch):
         str(tmp_path / "models" / "dp" / "model_config.json"))
     # log.csv written by the monitor (log_freq default 5 -> epoch 0 only).
     assert os.path.exists(str(tmp_path / "logs" / "dp" / "log.csv"))
+
+
+def test_pixel_sampling_under_mesh(scene):
+    """RayBatchDataset batches keep whole-image shapes, so they shard over
+    the mesh's data axis unchanged; one fit epoch must run and produce
+    finite metrics."""
+    mesh = make_mesh(8)
+    train, _, _ = DatasetLoader(scene, white_background=True).load_dataset(
+        batch_size=8, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8, pixel_sampling=True)
+    from keras_nerf_tpu.data.loader import RayBatchDataset
+    assert isinstance(train, RayBatchDataset)
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=8, image_height=16, image_width=16,
+                  ray_chunks=256, white_background=True, mesh=mesh)
+    history = model.fit(train, epochs=1, verbose=False)
+    assert np.isfinite(history[-1]["fine_loss"])
