@@ -27,6 +27,8 @@ Measured quality/throughput on a trained model: docs/QUALITY.md.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -211,8 +213,6 @@ def _render_points_chunk(params, origin, direction, points, key, config):
                                   config)
     return out
 
-
-import functools  # noqa: E402
 
 
 @functools.partial(
