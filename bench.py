@@ -159,7 +159,7 @@ def main():
     parser.add_argument("--warmup", type=int, default=3,
                         help="warmup steps (min 1: the warmup result is the "
                              "pre-timing sync point)")
-    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--iters", type=int, default=30)
     args = parser.parse_args()
     args.warmup = max(1, args.warmup)
 
