@@ -45,7 +45,7 @@ def bench_train(args):
         n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
         white_background=True,
         compute_dtype="float32" if args.fp32 else "bfloat16",
-        use_pallas=False if args.xla else None)
+        use_pallas=False if (args.xla or args.fp32) else None)
     optimizer = engine.make_optimizer("adam", 1e-3)
     state = engine.init_train_state(jax.random.PRNGKey(0), config, optimizer)
     batch = make_batch(args.batch_size, args.img_wh, args.img_wh,
@@ -89,7 +89,7 @@ def bench_render(args):
         n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
         white_background=True,
         compute_dtype="float32" if args.fp32 else "bfloat16",
-        use_pallas=False if args.xla else None,
+        use_pallas=False if (args.xla or args.fp32) else None,
         fast_render=args.fast_render)
     coarse, fine = engine.init_params(jax.random.PRNGKey(0), config)
     _, rays = make_batch(1, args.img_wh, args.img_wh, config.n_coarse,
@@ -145,7 +145,10 @@ def main():
     parser.add_argument("--ray_chunks", type=int, default=4096,
                         help="per-pass ray chunk (0 = whole batch in one "
                              "fused pass; needs ~32 GB HBM at 128^2 train)")
-    parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--fp32", action="store_true",
+                        help="float32 matmuls on the XLA path (the fused "
+                             "kernels are bf16-operand/f32-accumulate by "
+                             "design, so fp32 implies --xla)")
     parser.add_argument("--fast_render", type=int, default=0,
                         help="render mode only: opt-in importance-only fine "
                              "pass with this many samples (0 = exact)")

@@ -107,7 +107,11 @@ def encode_block128(
     """
     b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
     x6 = jnp.concatenate([positions, directions], axis=-1)
-    rep = jnp.dot(x6, jnp.asarray(b), preferred_element_type=jnp.float32)
+    # HIGHEST precision: a default-precision TPU dot quantizes the
+    # coordinate to bf16 BEFORE the 2^l scaling (multi-radian phase error
+    # at the top octaves). K = 6, so exactness is free.
+    rep = jnp.dot(x6, jnp.asarray(b), preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return _masked_sincos(rep, masks)
 
 
@@ -138,9 +142,15 @@ def encode_rays_block128(
     b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
     b = jnp.asarray(b)
     # b rows 0..2 scale xyz lanes (zero on dir lanes); rows 3..5 vice versa.
-    base = (jnp.dot(origin, b[0:3], preferred_element_type=jnp.float32)
-            + jnp.dot(direction, b[3:6], preferred_element_type=jnp.float32))
-    slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32)
+    # HIGHEST precision: see encode_block128 (bf16-quantized coordinates
+    # would corrupt the top PE octaves).
+    hi = jax.lax.Precision.HIGHEST
+    base = (jnp.dot(origin, b[0:3], preferred_element_type=jnp.float32,
+                    precision=hi)
+            + jnp.dot(direction, b[3:6], preferred_element_type=jnp.float32,
+                      precision=hi))
+    slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32,
+                    precision=hi)
     rep = base[:, None, :] + points[..., None] * slope[:, None, :]
     return _masked_sincos(rep, masks).reshape(r * s, LANE)
 
@@ -969,8 +979,14 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     # One transcendental instead of two: cos(x) = sin(x + pi/2); the phase
     # add costs <= 1 ulp of |rep|, far below the bf16 output quantization.
     rep_shift = rep + (np.pi / 2) * mm[2:3, :][None]
+    # Explicit 2-pi range reduction before the in-kernel sin: arguments
+    # reach 2^(L-1) * |x| (~3000 rad at L=10) where a hardware polynomial
+    # approximation cannot be trusted without it (DESIGN.md precision
+    # policy; the raw-coordinate lanes use the unreduced rep).
+    two_pi = 2.0 * np.pi
+    rep_red = rep_shift - two_pi * jnp.round(rep_shift * (1.0 / two_pi))
     enc3 = (mm[0:1, :][None] * rep
-            + (mm[1:2, :] + mm[2:3, :])[None] * jnp.sin(rep_shift))
+            + (mm[1:2, :] + mm[2:3, :])[None] * jnp.sin(rep_red))
     enc = enc3.reshape(r_tile * s, LANE).astype(jnp.bfloat16)
 
     sub = jax.lax.broadcasted_iota(jnp.int32, t3.shape, 1)
@@ -1087,9 +1103,14 @@ def fused_train_chunk(
 
     b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
     b = jnp.asarray(b)
-    base = (jnp.dot(origin, b[0:3], preferred_element_type=jnp.float32)
-            + jnp.dot(direction, b[3:6], preferred_element_type=jnp.float32))
-    slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32)
+    # HIGHEST precision: see encode_block128.
+    hi = jax.lax.Precision.HIGHEST
+    base = (jnp.dot(origin, b[0:3], preferred_element_type=jnp.float32,
+                    precision=hi)
+            + jnp.dot(direction, b[3:6], preferred_element_type=jnp.float32,
+                      precision=hi))
+    slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32,
+                    precision=hi)
     masks8 = jnp.asarray(np.pad(masks, ((0, 5), (0, 0))))  # sublane pad
 
     t = r_tile * s

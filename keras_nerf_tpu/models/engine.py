@@ -76,7 +76,11 @@ class NeRFConfig:
     # backends (where they are the measured-fastest path), OFF elsewhere
     # (CPU tests run the kernels only in explicit interpret mode). True
     # forces them (raises if the architecture is outside the kernel shape
-    # envelope); False forces the pure-XLA path.
+    # envelope); False forces the pure-XLA path. NOTE: the kernels'
+    # precision policy is fixed by design — bfloat16 matmul OPERANDS with
+    # float32 accumulation, encodings and quadrature in float32 — and does
+    # not follow compute_dtype (which governs the XLA path's matmuls);
+    # pass use_pallas=False for end-to-end float32 matmul math.
     use_pallas: bool | None = None
     # Opt-in fast NOVEL-VIEW rendering (inference only; training/eval math
     # is untouched): the fine pass evaluates `fast_render` importance
@@ -388,14 +392,6 @@ def _use_fused_train(config: NeRFConfig, loss_fn) -> bool:
             and loss_fn in (None, mse_loss)
             and kernel_supported(config.mlp, config.pos_emb_xyz,
                                  config.pos_emb_dir))
-
-
-def _encode_chunk(origin, direction, points, config: NeRFConfig):
-    """Ray-major [R*S, 128] bf16 kernel input for one chunk."""
-    from keras_nerf_tpu.kernels.ray_march import encode_rays_block128
-
-    return encode_rays_block128(origin, direction, points,
-                                config.pos_emb_xyz, config.pos_emb_dir)
 
 
 def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,

@@ -236,7 +236,11 @@ class NeRF:
         density (opt-in novel-view acceleration; `ops/occupancy.py`)."""
         self._require_compiled()
         from keras_nerf_tpu.ops import occupancy as occ_mod
-        aabb = occ_mod.DEFAULT_AABB if aabb is None else aabb
+        if aabb is None:
+            aabb = occ_mod.DEFAULT_AABB
+        # Normalize to a hashable tuple-of-tuples: render_occupancy passes
+        # the aabb as a jit STATIC argument (lists/arrays would crash there).
+        aabb = tuple(tuple(float(v) for v in row) for row in aabb)
         density = occ_mod.model_density_fn(self.state.fine_params,
                                            self.config)
         self.occ_grid = occ_mod.bake_occupancy_grid(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,7 +64,13 @@ def _encode(x: jnp.ndarray, num_freqs: int, order: str,
         b, masks = _selection_constants(x.shape[-1], num_freqs, order)
         b = jnp.asarray(b, dtype=x.dtype)
         masks = jnp.asarray(masks, dtype=x.dtype)
-        rep = jnp.dot(x, b, preferred_element_type=x.dtype)
+        # HIGHEST precision is load-bearing: a DEFAULT-precision f32 dot on
+        # TPU uses single-pass bf16 operands, which quantizes the coordinate
+        # to ~2^-9 relative BEFORE the 2^l scaling — at the top octave
+        # (2^9) that is a multi-radian phase error that turns the highest
+        # encoding bands into noise. K is 3, so exactness costs nothing.
+        rep = jnp.dot(x, b, preferred_element_type=x.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
         out = (masks[0] * rep + masks[1] * jnp.sin(rep)
                + masks[2] * jnp.cos(rep))
     if pad_to is not None and out.shape[-1] < pad_to:

@@ -130,10 +130,16 @@ def model_density_fn(params, config, *, use_pallas: bool | None = None,
             jnp.asarray([0.0, 0.0, -1.0], positions.dtype), positions.shape)
         if n <= chunk:
             return one_chunk(positions, dirs)
-        assert n % chunk == 0, (n, chunk)
-        outs = [one_chunk(positions[i:i + chunk], dirs[i:i + chunk])
-                for i in range(0, n, chunk)]
-        return jnp.concatenate(outs)
+        # Pad to a chunk multiple so every call shares one compiled shape
+        # (arbitrary grid sizes, not just powers of two).
+        n_pad = (n + chunk - 1) // chunk * chunk
+        p_pad = jnp.concatenate(
+            [positions, jnp.zeros((n_pad - n, 3), positions.dtype)])
+        d_pad = jnp.concatenate([dirs, dirs[:n_pad - n]]) if n_pad > n \
+            else dirs
+        outs = [one_chunk(p_pad[i:i + chunk], d_pad[i:i + chunk])
+                for i in range(0, n_pad, chunk)]
+        return jnp.concatenate(outs)[:n]
 
     return density
 

@@ -107,3 +107,18 @@ def test_nerf_bake_and_render_occupancy():
     out = model.render_occupancy((o, d, t), n_samples=8, n_probe=32)
     assert out["image"].shape == (b, h, w, 3)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_density_fn_handles_non_chunk_multiple_grids():
+    """Grids whose point counts are not multiples of the eval chunk (e.g.
+    96^3) must bake fine via the padded last chunk."""
+    from keras_nerf_tpu.ops.occupancy import model_density_fn
+
+    cfg = NeRFConfig(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                     n_layers=2, dense_units=32, skip_layer=1)
+    _, fine = engine.init_params(jax.random.PRNGKey(0), cfg)
+    density = model_density_fn(fine, cfg, use_pallas=False, chunk=1000)
+    grid = bake_occupancy_grid(density, grid_size=12, sigma_threshold=0.1,
+                               dilate=0)  # 12^3 = 1728, not % 1000
+    assert grid.shape == (12, 12, 12)
+    assert np.isfinite(np.asarray(grid)).all()
