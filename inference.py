@@ -34,6 +34,11 @@ def main():
     parser.add_argument('--use_pallas', action='store_true',
                         help='force the fused Pallas kernels on (default: '
                              'auto — ON for TPU backends)')
+    parser.add_argument('--no_pallas', action='store_true',
+                        help='force the pure-XLA path (end-to-end float32 '
+                             'matmuls when --mixed_precision is off; the '
+                             'fused kernels are bf16-operand/f32-accumulate '
+                             'by design)')
 
     # View Parameters
     parser.add_argument('--phi', type=float, default=-30.0)
@@ -104,7 +109,8 @@ def main():
         ray_chunks=args.ray_chunks,
         white_background=args.white_bg,
         is_training=False,
-        use_pallas=True if args.use_pallas else None,
+        use_pallas=(True if args.use_pallas else
+                    (False if args.no_pallas else None)),
         fast_render=args.fast_render,
     )
 

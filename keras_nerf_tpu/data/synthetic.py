@@ -62,10 +62,15 @@ def _trace(origin: np.ndarray, direction: np.ndarray) -> np.ndarray:
         [np.clip(color, 0, 1), alpha[..., None]], axis=-1).astype(np.float32)
 
 
-def _camera_rays(c2w: np.ndarray, h: int, w: int, focal: float):
-    """Host-side pinhole rays matching :mod:`keras_nerf_tpu.data.rays`."""
-    x, y = np.meshgrid(np.arange(w, dtype=np.float64),
-                       np.arange(h, dtype=np.float64), indexing="xy")
+def _camera_rays(c2w: np.ndarray, h: int, w: int, focal: float,
+                 offset: float = 0.0):
+    """Host-side pinhole rays matching :mod:`keras_nerf_tpu.data.rays`.
+
+    ``offset`` shifts every pixel coordinate (used by supersampling so the
+    box-filter footprint is CENTERED on the base pixel's ray)."""
+    x, y = np.meshgrid(np.arange(w, dtype=np.float64) - offset,
+                       np.arange(h, dtype=np.float64) - offset,
+                       indexing="xy")
     x_c = (x - w * 0.5) / focal
     y_c = (y - h * 0.5) / focal
     cam = np.stack([x_c, -y_c, -np.ones_like(x_c)], axis=-1)
@@ -85,8 +90,13 @@ def render_pose(c2w: np.ndarray, image_wh: int,
     by any radiance field and cap the scene's reachable PSNR at ~29 dB)."""
     ss = max(int(supersample), 1)
     focal = get_focal_from_fov(_BLENDER_FOV, image_wh * ss)
+    # Sub-sample k of base pixel i sits at fine coordinate ss*i + k; the
+    # box filter's mean is ss*i + (ss-1)/2, i.e. HALF A PIXEL past the
+    # base ray at coordinate i (data/rays.py uses no half-pixel offset).
+    # Shifting the fine grid by (ss-1)/2 centers every footprint exactly
+    # on its base pixel's training/eval ray.
     origin, direction = _camera_rays(c2w, image_wh * ss, image_wh * ss,
-                                     focal)
+                                     focal, offset=(ss - 1) / 2.0)
     rgba = _trace(origin, direction)
     if ss == 1:
         return rgba

@@ -121,24 +121,21 @@ def _masked_sincos(rep, masks):
     return enc.astype(jnp.bfloat16)
 
 
-def encode_rays_block128(
+def ray_encoding_coeffs(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
-    points: jnp.ndarray,
     pos_emb_xyz: int,
     pos_emb_dir: int,
-) -> jnp.ndarray:
-    """Ray-major kernel input straight from rays: ``(o [R, 3], d [R, 3],
-    t [R, S]) -> [R * S, 128]`` bf16.
+):
+    """Per-RAY encoding coefficients ``(base [R, 128], slope [R, 128])``.
 
     Folds the position expansion ``p = o + t d`` (`utils.py:193-194`) into
-    the per-RAY selection matmuls: the scaled arguments are
-    ``rep[r, s] = (o_r @ B + d_r @ B_dir) + t[r, s] * (d_r @ B_xyz)`` — the
-    per-point work is one well-laid-out [R, S, 128] broadcast FMA + masked
-    sin/cos, and no [P, 3]-shaped tensor (tiny-lane relayout pathology,
-    measured ~2-3 ms per fine chunk) ever materializes.
+    the selection matmuls: every scaled positional-encoding argument is
+    ``rep[r, s] = base_r + t[r, s] * slope_r`` — the kernel derives the
+    per-point encoding from these two [R, 128] rows, so no [P, 3]-shaped
+    tensor (tiny-lane relayout pathology) ever materializes and host->
+    kernel traffic stays per-ray.
     """
-    r, s = points.shape
     b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
     b = jnp.asarray(b)
     # b rows 0..2 scale xyz lanes (zero on dir lanes); rows 3..5 vice versa.
@@ -151,8 +148,7 @@ def encode_rays_block128(
                       precision=hi))
     slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32,
                     precision=hi)
-    rep = base[:, None, :] + points[..., None] * slope[:, None, :]
-    return _masked_sincos(rep, masks).reshape(r * s, LANE)
+    return base, slope, masks
 
 
 @functools.lru_cache(maxsize=None)
@@ -917,9 +913,17 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
     Returns ``(d_rgb3 [R_T, S, 128] lanes 0..2, d_sigma3 replicated)``.
     """
     e, y, trans, pre_clip = quad_state
-    # clip backward: pass where strictly inside (0, 1).
+    # clip backward, matching XLA autodiff's subgradient convention: 1
+    # inside (0, 1), 0.5 at EXACT saturation, 0 outside. Exact saturation
+    # is systematic, not measure-zero — a ray whose density collapsed to 0
+    # renders pre_clip == 1.0 exactly on white background — and a strict
+    # (0, 1) mask would zero its gradient forever (dead pixel), diverging
+    # from the XLA path (guarded by
+    # test_saturated_pixel_gradient_matches_xla).
     inside = jnp.logical_and(pre_clip > 0.0, pre_clip < 1.0)
-    d_pre = jnp.where(inside, d_image, 0.0)       # [R_T, 128], lanes 0..2
+    boundary = jnp.logical_or(pre_clip == 0.0, pre_clip == 1.0)
+    d_pre = jnp.where(inside, d_image,
+                      jnp.where(boundary, 0.5 * d_image, 0.0))
 
     d_pre3 = d_pre[:, None, :]
     d_rgb3 = weights * d_pre3
@@ -1101,16 +1105,8 @@ def fused_train_chunk(
     weight_args = _flatten_packed(packed)
     inv_n3 = 2.0 / (r * 3)
 
-    b, masks = _enc128_constants(pos_emb_xyz, pos_emb_dir)
-    b = jnp.asarray(b)
-    # HIGHEST precision: see encode_block128.
-    hi = jax.lax.Precision.HIGHEST
-    base = (jnp.dot(origin, b[0:3], preferred_element_type=jnp.float32,
-                    precision=hi)
-            + jnp.dot(direction, b[3:6], preferred_element_type=jnp.float32,
-                      precision=hi))
-    slope = jnp.dot(direction, b[0:3], preferred_element_type=jnp.float32,
-                    precision=hi)
+    base, slope, masks = ray_encoding_coeffs(origin, direction,
+                                             pos_emb_xyz, pos_emb_dir)
     masks8 = jnp.asarray(np.pad(masks, ((0, 5), (0, 0))))  # sublane pad
 
     t = r_tile * s

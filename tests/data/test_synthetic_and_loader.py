@@ -140,3 +140,35 @@ def test_resize_method_antialias_bilinear(scene):
     assert not np.allclose(img, lanczos)  # genuinely different filters
     with pytest.raises(ValueError):
         load_image(path, 16, 16, resize_method="nearest")
+
+
+def test_supersampled_gt_is_registered_to_base_pixels():
+    """The supersampled box filter must be CENTERED on each base pixel's
+    ray: a head-on view of the origin-centered sphere renders a symmetric
+    silhouette (the old +k/ss sub-sampling shifted GT ~0.4 px toward +x/+y,
+    breaking registration with data/rays.py's no-offset rays)."""
+    import numpy as np
+
+    from keras_nerf_tpu.data import synthetic
+    from keras_nerf_tpu.data.synthetic import render_pose
+    from keras_nerf_tpu.data.utils import pose_spherical
+
+    c2w = np.asarray(pose_spherical(180.0, -90.0, 4.0))  # straight down
+    orig_spheres = synthetic._SPHERES
+    try:
+        # Only the origin-centered sphere: the off-center ones would break
+        # the symmetry this test relies on.
+        synthetic._SPHERES = (orig_spheres[0],)
+        rgba = render_pose(c2w, 32, supersample=4)
+    finally:
+        synthetic._SPHERES = orig_spheres
+    alpha = rgba[..., 3]
+    # Mirror symmetry of the alpha silhouette about the image center,
+    # accounting for the half-pixel parity of an even-sized image: pixel i
+    # mirrors to (W-1) - i only if the scene projects symmetrically about
+    # (W-1)/2... the sphere center projects to pixel W/2 exactly (no
+    # half-pixel offset convention), so compare i <-> (W - i) instead.
+    flipped = alpha[:, ::-1]
+    shifted = np.roll(flipped, 1, axis=1)  # aligns mirror at column W/2
+    diff = np.abs(alpha[:, 1:] - shifted[:, 1:]).mean()
+    assert diff < 0.02, diff

@@ -345,3 +345,62 @@ def test_fused_train_step_matches_xla_step():
         gx = np.asarray(b0) - np.asarray(ax)
         rel = np.abs(ga - gx).max() / (np.abs(gx).max() + 1e-8)
         assert rel < 0.08, rel
+
+
+def test_saturated_pixel_gradient_matches_xla():
+    """A ray whose density is exactly zero renders pre_clip == 1.0 exactly
+    on white background; XLA's clip autodiff passes a 0.5 subgradient
+    there, and the fused kernel must too (a strict (0,1) mask would kill
+    the pixel's gradient forever)."""
+    import dataclasses
+
+    cfg = NeRFConfig(n_coarse=8, n_fine=0, pos_emb_xyz=10, pos_emb_dir=4,
+                     n_layers=2, dense_units=256, skip_layer=1,
+                     white_background=True)
+    state = engine.init_train_state(
+        jax.random.PRNGKey(0), cfg, engine.make_optimizer("sgd", 1e-2))
+    # The review's regression case: density collapsed to ~0 but still in
+    # relu's live region (sigma_pre = 1e-9 > 0). sum(w) ~ 4e-9 < 1 ulp of
+    # 1.0, so white-bg completion renders image == 1.0 EXACTLY (the clip
+    # boundary) while the quadrature still carries real gradient into the
+    # sigma head — the path a strict (0, 1) clip mask would kill forever.
+    params = jax.tree.map(lambda x: x, state.coarse_params)
+    params["sigma"]["kernel"] = params["sigma"]["kernel"] * 0.0
+    params["sigma"]["bias"] = params["sigma"]["bias"] * 0.0 + 1e-9
+
+    r = 64
+    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
+    d = jax.random.normal(jax.random.PRNGKey(1), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(jax.random.PRNGKey(2), (r, 8),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    target = jnp.full((r, 3), 0.5)
+
+    def xla_loss(p):
+        out, _ = engine.render_chunk(
+            p, o, d, t, jax.random.PRNGKey(3),
+            dataclasses.replace(cfg, use_pallas=False))
+        return jnp.mean((out.image - target) ** 2)
+
+    g_xla = jax.grad(xla_loss)(params)
+
+    from keras_nerf_tpu.kernels import pack_mlp_params, unpack_grads
+    from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
+
+    packed = pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz,
+                             cfg.pos_emb_dir)
+    image, _, _, g_packed = fused_train_chunk(
+        packed, o, d, t, target, cfg.mlp, pos_emb_xyz=cfg.pos_emb_xyz,
+        pos_emb_dir=cfg.pos_emb_dir, white_background=True, with_grad=True,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(image), 1.0)
+    g_fused = unpack_grads(g_packed, cfg.mlp, cfg.pos_emb_xyz,
+                           cfg.pos_emb_dir)
+
+    # The saturated-clip gradient flows into the sigma head in BOTH paths
+    # (0.5 subgradient) — neither may be all-zero, and they must agree.
+    gs_xla = np.asarray(g_xla["sigma"]["bias"])
+    gs_fused = np.asarray(g_fused["sigma"]["bias"])
+    assert np.abs(gs_xla).max() > 0.0
+    rel = np.abs(gs_xla - gs_fused).max() / (np.abs(gs_xla).max() + 1e-12)
+    assert rel < 0.05, rel

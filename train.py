@@ -62,6 +62,11 @@ def main():
     parser.add_argument('--profile_dir', type=str, default='')
     parser.add_argument('--use_pallas', action='store_true',
                         help='force the fused Pallas kernels on (default: auto)')
+    parser.add_argument('--no_pallas', action='store_true',
+                        help='force the pure-XLA path (end-to-end float32 '
+                             'matmuls when --mixed_precision is off; the '
+                             'fused kernels are bf16-operand/f32-accumulate '
+                             'by design)')
     parser.add_argument('--pixel_sampling', action='store_true',
                         help='train on random rays drawn across ALL images '
                              'per step instead of whole-image batches '

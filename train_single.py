@@ -67,6 +67,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument('--use_pallas', action='store_true',
                         help='force the fused Pallas kernels on (default: '
                              'auto — ON for TPU backends)')
+    parser.add_argument('--no_pallas', action='store_true',
+                        help='force the pure-XLA path (end-to-end float32 '
+                             'matmuls when --mixed_precision is off; the '
+                             'fused kernels are bf16-operand/f32-accumulate '
+                             'by design)')
     parser.add_argument('--pixel_sampling', action='store_true',
                         help='train on random rays drawn across ALL images '
                              'per step instead of whole-image batches '
@@ -168,7 +173,9 @@ def run_training(args, mesh=None):
         lr_decay_steps=args.num_epochs * max(len(train_dataset), 1),
         seed=getattr(args, 'seed', 42),
         mesh=mesh,
-        use_pallas=True if getattr(args, 'use_pallas', False) else None,
+        use_pallas=(True if getattr(args, 'use_pallas', False) else
+                    (False if getattr(args, 'no_pallas', False)
+                     else None)),
     )
 
     callbacks = [nerf_monitor]
