@@ -92,7 +92,9 @@ def main():
     if args.eagerly:
         jax.config.update('jax_disable_jit', True)
 
-    # Validate the checkpoint exists (`inference.py:51-54`).
+    # Validate the checkpoint exists (`inference.py:51-54`); a reference
+    # .h5 artifact is auto-converted in place (utils/import_h5.py).
+    ckpt.maybe_import_reference(args.model_dirs)
     if not ckpt.has_weights(args.model_dirs):
         raise FileNotFoundError(
             f'Model weights not found in {args.model_dirs} '

@@ -86,6 +86,26 @@ def has_weights(path: str) -> bool:
             and os.path.exists(os.path.join(path, FINE_WEIGHTS)))
 
 
+def maybe_import_reference(path: str) -> bool:
+    """If ``path`` holds a reference ``.h5`` artifact but no msgpack
+    weights, convert it in place (`utils/import_h5.py`). Returns True if
+    an import ran. Lets the CLIs point straight at a reference-trained
+    model directory (`nerf.py:45-76` artifact contract)."""
+    if has_weights(path):
+        return False
+    try:
+        from keras_nerf_tpu.utils.import_h5 import (
+            find_h5_pair, import_reference_model)
+    except ImportError:  # h5py unavailable
+        return False
+    if find_h5_pair(path) is None:
+        return False
+    import logging
+    logging.info("found reference .h5 checkpoint in %s; importing", path)
+    import_reference_model(path)
+    return True
+
+
 def load_weights(path: str, target_coarse: Any, target_fine: Any):
     """Restore both param trees from ``path`` onto same-structure targets."""
     with open(os.path.join(path, COARSE_WEIGHTS), "rb") as f:
