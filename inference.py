@@ -64,6 +64,16 @@ def main():
                              'MLP evals/ray). 0 = off. 64 is the measured '
                              'sweet spot (docs/QUALITY.md)')
     parser.add_argument('--occupancy_samples', type=int, default=64)
+    parser.add_argument('--occupancy_aabb', type=float, nargs=6,
+                        default=None, metavar=('X0', 'Y0', 'Z0',
+                                               'X1', 'Y1', 'Z1'),
+                        help='axis-aligned bounds of the occupancy grid '
+                             '(xyz min then xyz max); default [-2,2]^3 '
+                             'matches Blender-scale scenes — geometry '
+                             'outside the box is culled to background')
+    parser.add_argument('--sigma_threshold', type=float, default=1.0,
+                        help='density threshold for a voxel to count as '
+                             'occupied when baking the grid')
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
 
@@ -120,7 +130,17 @@ def main():
     thetas = list(range(0, 360, args.output_freq))
 
     if args.occupancy_grid > 0:
-        nerf.bake_occupancy(args.occupancy_grid)
+        aabb = None
+        if args.occupancy_aabb is not None:
+            aabb = (tuple(args.occupancy_aabb[:3]),
+                    tuple(args.occupancy_aabb[3:]))
+        else:
+            logging.info(
+                'occupancy grid uses the default [-2, 2]^3 AABB; pass '
+                '--occupancy_aabb for scenes outside Blender scale '
+                '(geometry outside the box renders as background)')
+        nerf.bake_occupancy(args.occupancy_grid,
+                            sigma_threshold=args.sigma_threshold, aabb=aabb)
 
     frames, depth_frames = [], []
     key = jax.random.PRNGKey(42)

@@ -31,10 +31,14 @@ Design rules that made the kernels win (round 1 lost to XLA end-to-end):
   kernels run SPLIT matmuls against row-masked packed weights — identical
   function, zero relayouts;
 * per-ray/per-sample scalars (sigma, alpha, transmittance, weights) live
-  REPLICATED across all 128 lanes of [R_T, S, 128] tensors; cumprod and
-  suffix-sum are Hillis-Steele sublane scans. Mosaic cannot shape-cast
-  lanes<->sublanes ([T, 1] <-> [R_T, S]); the one required conversion
-  (depths) is a mask+reduce (:func:`_replicate_lanes`);
+  REPLICATED across all 128 lanes of [R_T, S, 128] tensors; the
+  transmittance cumulative sum and the backward's suffix sum ride the MXU
+  as strictly-triangular batched matmuls (:func:`_tri_matmul_sub` — ~1%
+  extra matmul FLOPs replacing ~2 log2(S) full-tensor VPU passes each).
+  Mosaic cannot shape-cast lanes<->sublanes ([T, 1] <-> [R_T, S]); the
+  two required conversions are mask+reduce diagonal selects (depths in:
+  :func:`_replicate_lanes`; compact weights out: the emit_weights block of
+  :func:`_train_chunk_kernel`);
 * the positional encoding is a selection MATMUL (one nonzero per column =
   exact products) off per-ray base/slope coefficients; ``cos`` rides the
   ``sin`` unit via a masked +pi/2 phase; the [..., L, 3] broadcast layout
@@ -822,66 +826,58 @@ def _shift_up(x, k, s):
     return jnp.where(sub < s - k, pltpu.roll(x, s - k, axis=1), 0.0)
 
 
-def _shift_down(x, k, s, fill=0.0):
-    """out_s = x_{s-k} (``fill`` below the start)."""
-    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(sub >= k, pltpu.roll(x, k, axis=1), fill)
+def _tri_matmul_sub(x3, s, *, upper: bool):
+    """Strictly-triangular matmul along the sample (sublane) axis of
+    ``[R_T, S, 128]``: exclusive cumulative sum (``upper=False``) or strict
+    suffix sum (``upper=True``).
 
-
-def _cumprod_exclusive_sub(x, s):
-    """Exclusive cumulative product along the sample (sublane) axis of
-    ``[R_T, S, 128]`` via a Hillis-Steele scan — exact products, no log/exp
-    detour, and no cross-lane broadcast waste (every lane carries its ray's
-    replicated scalar, so the scan is pure sublane shifts)."""
-    y = _shift_down(x, 1, s, fill=1.0)
-    k = 1
-    while k < s:
-        y = y * _shift_down(y, k, s, fill=1.0)
-        k *= 2
-    return y
-
-
-def _suffix_sum_sub(z, s):
-    """``out_s = sum_{j > s} z_j`` along the sample (sublane) axis."""
-    g = _shift_up(z, 1, s)
-    k = 1
-    while k < s:
-        g = g + _shift_up(g, k, s)
-        k *= 2
-    return g
+    Runs on the MXU as one batched ``[S, S] @ [S, 128]`` contraction per
+    ray instead of the round-2 Hillis-Steele shift chain — ~2·log2(S)
+    full-tensor VPU passes collapse into ~1% of the tile's matmul FLOPs
+    (the dominant kernel overhead in the round-2 profile). HIGHEST
+    precision keeps the contraction effectively float32: the 0/1
+    triangular operand is exact in bfloat16, but default-precision would
+    round each x term to bf16 (measured 4e-4 relative cumsum error — a
+    multi-percent transmittance error at optical depth ~10, vs the f32
+    quadrature precision policy of docs/DESIGN.md)."""
+    r_tile = x3.shape[0]
+    shape = (r_tile, s, s)
+    sub = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    tri = ((lane > sub) if upper else (lane < sub)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        tri, x3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
-                    white_background: bool, epsilon: float = 1e-10):
+                    white_background: bool):
     """Volume rendering on lane-replicated ray tiles.
 
     Every per-sample scalar (sigma, alpha, transmittance, weights) lives
-    replicated across all 128 lanes of a ``[R_T, S, 128]`` tensor — scans
-    and reductions are sublane ops, rgb rides in lanes 0..2, and NO
-    lane<->sublane shape cast ever happens (Mosaic cannot lower
-    ``[T, 1] <-> [R_T, S]`` casts; the round-1 v3 kernel lost to exactly
-    this relayout).
+    replicated across all 128 lanes of a ``[R_T, S, 128]`` tensor — rgb
+    rides in lanes 0..2, reductions are sublane ops, and NO lane<->sublane
+    shape cast ever happens (Mosaic cannot lower ``[T, 1] <-> [R_T, S]``
+    casts; the round-1 v3 kernel lost to exactly this relayout).
 
     Semantics match `ops/rendering.py: render_rays` (reference
     `utils.py:17-58`): eps-padded last delta (delta3 arrives padded from
-    XLA), exclusive cumprod of ``1 - alpha + eps``, white completion, clip.
-
-    Numerical note: ``y`` is computed DIRECTLY as ``exp(-sigma*delta) +
-    eps`` rather than the reference's literal ``1 - alpha + eps``. The two
-    are the same real number, but the literal form (a) loses a ULP to the
-    1 - (1 - e) double rounding and (b) gets constant-folded to ``1 -
-    alpha`` by the Pallas interpret pipeline's reassociation (measured:
-    ``1.0 - alpha + 1e-10`` == 0.0 exactly for alpha == 1 under
-    interpret=True, while real TPU Mosaic preserves the eps) — and a zero
-    ``y`` turns the backward's ``suffix / y`` into inf and ``inf * 0`` into
-    NaN whenever a sample saturates (sigma*delta > ~17.3 makes alpha round
-    to exactly 1.0). The backward uses ``e`` from quad_state wherever the
-    math says ``1 - alpha`` for the same reason.
+    XLA), exclusive-product transmittance, white completion, clip — with
+    ONE deliberate reformulation: transmittance is computed EXACTLY as
+    ``T_s = exp(-sum_{i<s} sigma_i delta_i)`` (an MXU cumulative sum of
+    optical depth, :func:`_tri_matmul_sub`) instead of the reference's
+    running product of ``1 - alpha + 1e-10``. The two differ by at most a
+    factor ``(1 + eps/e_i)`` per sample — a ~1e-10-relative stabilizer
+    artifact, orders below the MLP's own bf16 matmul noise — and the exact
+    form needs no epsilon at all: the backward has NO division (the
+    round-2 ``suffix / y`` saturation hazard and its interpret-mode
+    constant-folding NaN are gone by construction).
     """
-    e = jnp.exp(-sigma_b * delta3)
+    x = sigma_b * delta3                          # per-sample optical depth
+    e = jnp.exp(-x)
     alpha = 1.0 - e
-    y = e + epsilon
-    trans = _cumprod_exclusive_sub(y, s)
+    trans = jnp.exp(-_tri_matmul_sub(x, s, upper=False))
     weights = alpha * trans                       # [R_T, S, 128] replicated
 
     image_raw = jnp.sum(weights * rgb3, axis=1)   # [R_T, 128], lanes 0..2
@@ -891,7 +887,7 @@ def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
         image_raw = image_raw + (1.0 - wsum)
     pre_clip = jnp.where(lane < 3, image_raw, 0.0)
     image = jnp.clip(pre_clip, 0.0, 1.0)
-    return image, weights, (e, y, trans, pre_clip)
+    return image, weights, (e, trans, pre_clip)
 
 
 def _depth_lane3(weights, t3, image):
@@ -906,13 +902,15 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
                     r_tile, s, white_background: bool):
     """Hand-derived backward of :func:`_quadrature_fwd`.
 
-    ``w_j = alpha_j * prod_{i<j}(1 - alpha_i + eps)`` gives
-    ``d_alpha_s = T_s d_w_s - (sum_{j>s} w_j d_w_j) / y_s`` and
-    ``d_sigma_s = d_alpha_s * delta_s * (1 - alpha_s)``.
+    With ``x_s = sigma_s delta_s``, ``T_s = exp(-sum_{i<s} x_i)`` and
+    ``w_s = (1 - e^{-x_s}) T_s``:
+    ``dL/dx_s = e_s T_s d_w_s - sum_{j>s} w_j d_w_j`` (the suffix sum runs
+    on the MXU, :func:`_tri_matmul_sub`) and ``d_sigma_s = delta_s dL/dx_s``
+    — division-free, so saturated samples (e -> 0) cannot produce inf/NaN.
 
     Returns ``(d_rgb3 [R_T, S, 128] lanes 0..2, d_sigma3 replicated)``.
     """
-    e, y, trans, pre_clip = quad_state
+    e, trans, pre_clip = quad_state
     # clip backward, matching XLA autodiff's subgradient convention: 1
     # inside (0, 1), 0.5 at EXACT saturation, 0 outside. Exact saturation
     # is systematic, not measure-zero — a ray whose density collapsed to 0
@@ -934,11 +932,9 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
         d_w = d_w - jnp.broadcast_to(
             jnp.sum(d_pre3, axis=-1, keepdims=True), weights.shape)
 
-    suffix = _suffix_sum_sub(weights * d_w, s)
-    d_alpha = trans * d_w - suffix / y
-    # (1 - alpha) == e, used directly: recomputing it from alpha loses the
-    # saturated tail to cancellation (alpha == 1 -> 0 instead of ~1e-9).
-    d_sigma3 = d_alpha * delta3 * e
+    suffix = _tri_matmul_sub(weights * d_w, s, upper=True)
+    d_x = e * trans * d_w - suffix
+    d_sigma3 = d_x * delta3
     return d_rgb3, d_sigma3
 
 
@@ -957,8 +953,9 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     MB stream in instead of the ~300 MB of XLA-materialized enc/delta
     tensors (measured ~3.5 ms/chunk of pure broadcast/convert fusions).
 
-    Outputs: image [r_tile, 128] f32 (lanes 0..2), weights [r_tile*S, 128]
-    f32 (lane-replicated), (packed gradient accumulators when with_grad).
+    Outputs: image [r_tile, 128] f32 (lanes 0..2, depth in lane 3), compact
+    weights [r_tile, S_pad] f32, (packed gradient accumulators when
+    with_grad).
     """
     if with_grad:
         target_ref = refs[0]
@@ -1011,7 +1008,18 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
 
     image_ref[...] = _depth_lane3(weights, t3, image)
     if emit_weights:
-        weights_ref[...] = weights.reshape(r_tile * s, LANE)
+        # COMPACT [r_tile, S] output (S on lanes): each sample's
+        # lane-replicated weight is picked onto its own lane by a diagonal
+        # select + sublane reduce, one pass per 128-lane chunk. The round-2
+        # kernel wrote the full replicated [r_tile*S, 128] f32 tensor —
+        # 128x the information content, ~134 MB of HBM write per 4096-ray
+        # coarse chunk — only for lane 0 to be read back.
+        w_sub = jax.lax.broadcasted_iota(jnp.int32, weights.shape, 1)
+        w_lane = _lane_iota(weights.shape)
+        for k in range(0, s, LANE):
+            picked = jnp.sum(
+                jnp.where(w_sub == w_lane + k, weights, 0.0), axis=1)
+            weights_ref[:, k:k + LANE] = picked
 
     if not with_grad:
         return
@@ -1071,9 +1079,8 @@ def fused_train_chunk(
 ):
     """One model's fused encode+forward+render(+backward) over a ray chunk.
 
-    ``emit_weights=False`` skips the [R*S, 128] weights output (and the
-    derived depth) — the fine TRAIN pass never consumes them, saving a
-    ~200 MB HBM write per fine chunk.
+    ``emit_weights=False`` skips the compact [R, S] weights output — the
+    fine TRAIN pass never consumes it.
 
     The flagship kernel: positional encoding, MLP forward, volume-rendering
     quadrature, the MSE loss cotangent AND the full backward all run in ONE
@@ -1109,7 +1116,7 @@ def fused_train_chunk(
                                              pos_emb_xyz, pos_emb_dir)
     masks8 = jnp.asarray(np.pad(masks, ((0, 5), (0, 0))))  # sublane pad
 
-    t = r_tile * s
+    s_pad = _round_up(s, LANE)  # compact weights output, lane-padded
     in_specs = [
         pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -1134,8 +1141,8 @@ def fused_train_chunk(
     out_specs = [pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     if emit_weights:
-        out_shapes.append(jax.ShapeDtypeStruct((r * s, LANE), jnp.float32))
-        out_specs.append(pl.BlockSpec((t, LANE), lambda i: (i, 0),
+        out_shapes.append(jax.ShapeDtypeStruct((r, s_pad), jnp.float32))
+        out_specs.append(pl.BlockSpec((r_tile, s_pad), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
     if with_grad:
         grad_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
@@ -1162,7 +1169,7 @@ def fused_train_chunk(
 
     image = outs[0][:, :3]
     depth = outs[0][:, 3]
-    weights = outs[1][:, 0].reshape(r, s) if emit_weights else None
+    weights = outs[1][:, :s] if emit_weights else None
     if not with_grad:
         return image, depth, weights
     d_packed, _ = _unflatten_packed(

@@ -170,6 +170,15 @@ class NeRF:
                                    static_argnames=("with_weights",))
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
         self._eval_step = jax.jit(eval_fn)
+        # Mesh fallback for batches the shard_map in_specs cannot split
+        # (e.g. a 6-image split on an 8-device mesh): an unsharded eval step
+        # on one device. jit is lazy, so this costs nothing unless used.
+        self._eval_step_unsharded = (
+            jax.jit(partial(engine.eval_step, config=self.config,
+                            ray_chunks=min(self.ray_chunks,
+                                           image_height * image_width),
+                            loss_fn=loss_fn))
+            if mesh is not None else self._eval_step)
 
         self.metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
         self.val_metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
@@ -205,10 +214,18 @@ class NeRF:
                                 self._step_counter)
         return out
 
+    def _eval_fn_for(self, batch):
+        """Mesh-divisibility routing: batches whose leading dim does not
+        split over the mesh run through the unsharded fallback."""
+        if (self.mesh is not None
+                and batch[0].shape[0] % int(self.mesh.devices.size) != 0):
+            return self._eval_step_unsharded
+        return self._eval_step
+
     def test_step(self, batch, key=None) -> dict[str, float]:
         """Full chunked inference + metrics (`nerf.py:475-497`)."""
         self._require_compiled()
-        metrics = self._eval_step(
+        metrics = self._eval_fn_for(batch)(
             self.state, batch, key if key is not None else self._eval_key)
         out = {k: float(v) for k, v in metrics.items()}
         for k, v in out.items():
@@ -268,19 +285,28 @@ class NeRF:
             near=near, far=far, n_samples=n_samples, n_probe=n_probe,
             ray_chunks=self.ray_chunks, aabb=self._occ_aabb)
 
-    def evaluate(self, dataset, key=None) -> dict[str, float]:
-        """Run test_step over a dataset; returns mean metrics (the Keras
-        ``evaluate`` equivalent over the engine's `nerf.py:475-497` path)."""
-        self._require_compiled()
-        # Splits smaller than the (global) batch size yield zero batches
-        # under drop_remainder — rebatch down like the monitor does instead
-        # of silently returning all-zero means.
+    def _prepare_eval_dataset(self, dataset):
+        """Splits smaller than the (global) batch size yield zero batches
+        under drop_remainder — rebatch down instead of silently returning
+        all-zero means. Under a mesh, a rebatched size that no longer
+        divides the device count cannot carry the batch sharding (the
+        unsharded eval fallback handles the step itself)."""
         if (hasattr(dataset, "num_examples") and hasattr(dataset, "rebatch")
                 and len(dataset) == 0 and dataset.num_examples > 0):
             logging.warning(
                 "evaluate: dataset has %d images < batch size %d; rebatching",
                 dataset.num_examples, dataset.batch_size)
             dataset = dataset.rebatch(dataset.num_examples)
+            if (self.mesh is not None and dataset.batch_size
+                    % int(self.mesh.devices.size) != 0):
+                dataset.sharding = None
+        return dataset
+
+    def evaluate(self, dataset, key=None) -> dict[str, float]:
+        """Run test_step over a dataset; returns mean metrics (the Keras
+        ``evaluate`` equivalent over the engine's `nerf.py:475-497` path)."""
+        self._require_compiled()
+        dataset = self._prepare_eval_dataset(dataset)
         for tracker in self.val_metrics.values():
             tracker.reset()
         n_batches = 0
@@ -382,10 +408,14 @@ class NeRF:
                                  for k, v in step_metrics.items()})
 
             if validation_data is not None:
+                if epoch == initial_epoch:
+                    validation_data = self._prepare_eval_dataset(
+                        validation_data)
                 # Same deferred fetch for validation: enqueue every eval
                 # step, sync once.
                 val_pending = [
-                    self._eval_step(self.state, batch, self._eval_key)
+                    self._eval_fn_for(batch)(self.state, batch,
+                                             self._eval_key)
                     for batch in validation_data]
                 for step_metrics in jax.device_get(val_pending):
                     for k, v in step_metrics.items():

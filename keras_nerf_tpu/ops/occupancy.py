@@ -7,7 +7,7 @@ dense/static-shape execution model:
   a dense voxel grid over the scene AABB (one fused forward, ~2 TFLOP at
   128**3) and thresholds + dilates it into a binary occupancy volume;
 * :func:`occupancy_along_rays` marches D uniform probe bins per ray and
-  gathers nearest-voxel occupancy — a [R, D] weight field;
+  gathers containing-voxel occupancy — a [R, D] weight field;
 * :func:`sample_occupied` inverts that field with the SAME sorted
   inverse-CDF machinery the fine pass uses (`ops/sampling.py`), so all K
   MLP samples land inside occupied space (uniform over it, exact within
@@ -153,7 +153,7 @@ def occupancy_along_rays(
     n_probe: int,
     aabb=DEFAULT_AABB,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """March ``n_probe`` uniform bins per ray, gathering nearest-voxel
+    """March ``n_probe`` uniform bins per ray, gathering containing-voxel
     occupancy at each bin center.
 
     Args:

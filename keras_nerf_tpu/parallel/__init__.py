@@ -2,6 +2,8 @@
 
 from keras_nerf_tpu.parallel.data_parallel import (
     DATA_AXIS,
+    REPLICA_AXIS,
+    batch_sharding,
     make_mesh,
     replicate,
     shard_batch,
@@ -13,6 +15,8 @@ from keras_nerf_tpu.parallel.data_parallel import (
 
 __all__ = [
     "DATA_AXIS",
+    "REPLICA_AXIS",
+    "batch_sharding",
     "make_mesh",
     "replicate",
     "shard_batch",

@@ -85,6 +85,18 @@ def _band_specs(mesh: Mesh):
     return ray_spec, out_spec
 
 
+def batch_sharding(mesh: Mesh) -> jax.sharding.NamedSharding:
+    """The sharding of an (images, rays) batch under pure DP: leading
+    (image-batch) axis split over every mesh axis.
+
+    Passed to ``DatasetLoader.load_dataset(sharding=...)`` so each host
+    batch is COMMITTED per-device at creation — without it every global
+    batch is staged on device 0 and re-laid-out by XLA at dispatch each
+    step (a per-step host/HBM bottleneck on real multi-chip hardware,
+    invisible on the fake CPU mesh)."""
+    return jax.sharding.NamedSharding(mesh, P(_batch_axes(mesh)))
+
+
 def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
                        ray_chunks: int):
     """shard_map-wrapped train step: global batch in, replicated state out."""

@@ -92,6 +92,13 @@ class NeRFTrainMonitor:
             self.dataset = self.dataset.rebatch(self.dataset.num_examples)
             self.batch_size = self.dataset.num_examples
             batch_size = self.batch_size
+            # A rebatched size that no longer divides the mesh cannot carry
+            # the per-device batch sharding (panel renders shard by image
+            # height instead, so any batch size works downstream).
+            sharding = getattr(self.dataset, "sharding", None)
+            if (sharding is not None and
+                    batch_size % sharding.mesh.devices.size != 0):
+                self.dataset.sharding = None
         batches = self.dataset.take(1)
         if not batches:
             raise ValueError("monitor dataset yielded no batches")

@@ -45,5 +45,13 @@ try:
 except OSError:
     pass
 _tag = hashlib.sha1(_cpu_flags.encode()).hexdigest()[:8]
-jax.config.update("jax_compilation_cache_dir", f"/root/.jax_cache_cpu_{_tag}")
+# Root the cache in the user's home (fall back to the system tempdir
+# on boxes where home is not writable) rather than a literal /root.
+import os  # noqa: E402
+import tempfile  # noqa: E402
+_cache_root = os.path.expanduser("~")
+if not os.access(_cache_root, os.W_OK):
+    _cache_root = tempfile.gettempdir()
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_cache_root, f".jax_cache_cpu_{_tag}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

@@ -50,6 +50,12 @@ def main():
     parser.add_argument('--num_gpus', type=int, default=0,
                         help='restrict the mesh to the first N devices '
                              '(0 = all devices)')
+    parser.add_argument('--n_slices', type=int, default=1,
+                        help='multi-slice pods: shard the batch over a 2-D '
+                             '(replica, data) mesh with this many slices '
+                             'outermost, so the outer all-reduce hop rides '
+                             'DCN and the inner ICI '
+                             '(parallel/data_parallel.py: make_mesh)')
     parser.add_argument('--ray_chunks', type=int, default=1024)
     parser.add_argument('--learning_rate', type=float, default=1e-3)
     parser.add_argument('--lr_final', type=float, default=0.0,
@@ -95,8 +101,10 @@ def main():
     from keras_nerf_tpu.parallel import make_mesh
 
     n = args.num_gpus if args.num_gpus > 0 else len(jax.devices())
-    mesh = make_mesh(n)
-    logging.info('Devices: %s', mesh.devices.ravel().tolist())
+    mesh = make_mesh(n, n_slices=args.n_slices)
+    logging.info('Devices (%s mesh): %s', dict(zip(mesh.axis_names,
+                                                   mesh.devices.shape)),
+                 mesh.devices.ravel().tolist())
     run_training(args, mesh=mesh)
 
 

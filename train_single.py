@@ -117,6 +117,14 @@ def run_training(args, mesh=None):
         logging.info("Mesh: %d devices; global batch %d",
                      n_devices, global_batch_size)
 
+    # Under a mesh, commit every batch per-device at creation (leading axis
+    # sharded over the mesh) instead of staging it on device 0 and letting
+    # XLA re-shard at dispatch each step.
+    sharding = None
+    if mesh is not None:
+        from keras_nerf_tpu.parallel import batch_sharding
+        sharding = batch_sharding(mesh)
+
     dataset_loader = DatasetLoader(
         args.data_dir, args.white_bg,
         resize_method=getattr(args, 'resize_method', 'lanczos'))
@@ -128,6 +136,7 @@ def run_training(args, mesh=None):
         far=args.far,
         n_sample=args.num_coarse_samples,
         seed=getattr(args, 'seed', 42),
+        sharding=sharding,
         pixel_sampling=getattr(args, 'pixel_sampling', False),
     )
 
