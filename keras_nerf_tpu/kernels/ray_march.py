@@ -81,6 +81,12 @@ LANE = 128
 ENC_XYZ_OFF = 0    # xyz block occupies lanes [0, 64)
 ENC_DIR_OFF = 64   # dir block occupies lanes [64, 128)
 
+# Diagnostic ablations for scripts/profile_ablate.py (KNT_ABL env var):
+# 'noquad' removes the quadrature math, 'notri' removes only the
+# triangular scan matmuls, 'nosin' removes the encoding transcendentals.
+# Wrong math by design — never set outside profiling.
+_ABL = __import__("os").environ.get("KNT_ABL", "none")
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -333,6 +339,10 @@ def _forward_core(config: MLPConfig, last_skip: bool, enc, w,
     h = None
     h_list = []
     for i in range(config.n_layers):
+        # f32 accumulate + f32 bias/relu, converted once: a bf16 epilogue
+        # (dot16 + bf16 bias) was tried and pushed the deepest trunk
+        # gradient past the 5% XLA-parity budget (relu mask flips at the
+        # rounding boundary) for no measured step-time win.
         acc = _dot(enc, w["trunk_w"][i][...]) if i == 0 else \
             _dot(h, w["trunk_w"][i][...])
         if i > 0 and _layer_uses_enc(i, skip):
@@ -476,6 +486,10 @@ def _mlp_bwd_kernel(config: MLPConfig, last_skip: bool, enc_ref, g_ref,
             preferred_element_type=jnp.float32)
 
     def dX(g, ww):  # g @ ww^T contracting the feature axis
+        # f32 output: cotangents compound through the 8-layer chain, and
+        # bf16 storage here pushed the deepest trunk gradient past the 5%
+        # XLA-parity budget (measured 6.1%) — the epilogue saving is not
+        # worth the precision.
         return jax.lax.dot_general(
             g, ww, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -752,6 +766,10 @@ def _backward_core(config: MLPConfig, last_skip: bool, enc, g_rgb128,
             preferred_element_type=jnp.float32)
 
     def dX(g, ww):
+        # f32 output: cotangents compound through the 8-layer chain, and
+        # bf16 storage here pushed the deepest trunk gradient past the 5%
+        # XLA-parity budget (measured 6.1%) — the epilogue saving is not
+        # worth the precision.
         return jax.lax.dot_general(
             g, ww, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -790,6 +808,24 @@ def _backward_core(config: MLPConfig, last_skip: bool, enc, g_rgb128,
         _acc_out(d["trunk_b"][i], rowsum(d_pre.astype(jnp.float32)))
         if i > 0:
             d_h = dX(d_pre, w["trunk_w"][i][...])
+
+
+def _sin_poly(x):
+    """Degree-9 odd minimax polynomial for sin on the range-reduced
+    [-pi, pi] argument: max abs error 1.4e-5, far below the bfloat16
+    quantization the encoding output immediately undergoes (ulp 3.9e-3 at
+    |sin| ~ 1; a degree-7 fit at 5.4e-4 measurably shifted first-layer
+    weight gradients vs XLA). Profiled: the generic in-kernel ``jnp.sin``
+    lowering cost ~2.5 ms per fine-chunk forward (scripts/
+    profile_ablate.py, KNT_ABL=nosin); this is 6 cheap VPU ops. The
+    ARGUMENT stays f32 end-to-end — round 2 established that bf16 phase
+    error upstream of the top PE octaves is the harmful failure mode."""
+    x2 = x * x
+    p = 2.16657012e-6 * x2 + -1.93030430e-4
+    p = p * x2 + 8.31153094e-3
+    p = p * x2 + -1.66630582e-1
+    p = p * x2 + 9.99983358e-1
+    return x * p
 
 
 def _lane_iota(shape):
@@ -831,24 +867,32 @@ def _tri_matmul_sub(x3, s, *, upper: bool):
     ``[R_T, S, 128]``: exclusive cumulative sum (``upper=False``) or strict
     suffix sum (``upper=True``).
 
-    Runs on the MXU as one batched ``[S, S] @ [S, 128]`` contraction per
-    ray instead of the round-2 Hillis-Steele shift chain — ~2·log2(S)
+    Runs on the MXU as batched ``[S, S] @ [S, 128]`` contractions per ray
+    instead of the round-2 Hillis-Steele shift chain — ~2·log2(S)
     full-tensor VPU passes collapse into ~1% of the tile's matmul FLOPs
-    (the dominant kernel overhead in the round-2 profile). HIGHEST
-    precision keeps the contraction effectively float32: the 0/1
-    triangular operand is exact in bfloat16, but default-precision would
-    round each x term to bf16 (measured 4e-4 relative cumsum error — a
-    multi-percent transmittance error at optical depth ~10, vs the f32
-    quadrature precision policy of docs/DESIGN.md)."""
+    (the dominant kernel overhead in the round-2 profile).
+
+    Precision: the 0/1 triangular operand is exact in bfloat16, but a
+    single default-precision dot would round each x term to bf16
+    (measured 4e-4 relative cumsum error — a multi-percent transmittance
+    error at optical depth ~10, vs the f32 quadrature policy of
+    docs/DESIGN.md). Instead x is split into two exact bf16 pieces
+    (hi + residual — together ~16 mantissa bits) and contracted with TWO
+    default-precision dots accumulated in f32: ~1.5e-5 relative error at
+    one third the passes of a HIGHEST-precision f32 dot (measured: the
+    HIGHEST form cost ~20 ms/step end-to-end)."""
     r_tile = x3.shape[0]
     shape = (r_tile, s, s)
     sub = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    tri = ((lane > sub) if upper else (lane < sub)).astype(jnp.float32)
-    return jax.lax.dot_general(
-        tri, x3, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    tri = ((lane > sub) if upper else (lane < sub)).astype(jnp.bfloat16)
+    x_hi = x3.astype(jnp.bfloat16)
+    x_lo = (x3 - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((2,), (1,)), ((0,), (0,)))
+    return (jax.lax.dot_general(tri, x_hi, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(tri, x_lo, dims,
+                                  preferred_element_type=jnp.float32))
 
 
 def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
@@ -875,10 +919,19 @@ def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
     constant-folding NaN are gone by construction).
     """
     x = sigma_b * delta3                          # per-sample optical depth
-    e = jnp.exp(-x)
-    alpha = 1.0 - e
-    trans = jnp.exp(-_tri_matmul_sub(x, s, upper=False))
-    weights = alpha * trans                       # [R_T, S, 128] replicated
+    if _ABL == "noquad":
+        e = x
+        trans = x
+        weights = x
+    elif _ABL == "notri":
+        e = jnp.exp(-x)
+        trans = jnp.exp(-x)
+        weights = (1.0 - e) * trans
+    else:
+        e = jnp.exp(-x)
+        alpha = 1.0 - e
+        trans = jnp.exp(-_tri_matmul_sub(x, s, upper=False))
+        weights = alpha * trans                   # [R_T, S, 128] replicated
 
     image_raw = jnp.sum(weights * rgb3, axis=1)   # [R_T, 128], lanes 0..2
     lane = _lane_iota(image_raw.shape)
@@ -932,8 +985,13 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
         d_w = d_w - jnp.broadcast_to(
             jnp.sum(d_pre3, axis=-1, keepdims=True), weights.shape)
 
-    suffix = _tri_matmul_sub(weights * d_w, s, upper=True)
-    d_x = e * trans * d_w - suffix
+    if _ABL == "noquad":
+        d_x = d_w
+    elif _ABL == "notri":
+        d_x = e * trans * d_w
+    else:
+        suffix = _tri_matmul_sub(weights * d_w, s, upper=True)
+        d_x = e * trans * d_w - suffix
     d_sigma3 = d_x * delta3
     return d_rgb3, d_sigma3
 
@@ -985,9 +1043,12 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     # approximation cannot be trusted without it (DESIGN.md precision
     # policy; the raw-coordinate lanes use the unreduced rep).
     two_pi = 2.0 * np.pi
-    rep_red = rep_shift - two_pi * jnp.round(rep_shift * (1.0 / two_pi))
-    enc3 = (mm[0:1, :][None] * rep
-            + (mm[1:2, :] + mm[2:3, :])[None] * jnp.sin(rep_red))
+    if _ABL == "nosin":
+        enc3 = (mm[0:1, :] + mm[1:2, :] + mm[2:3, :])[None] * rep_shift
+    else:
+        rep_red = rep_shift - two_pi * jnp.round(rep_shift * (1.0 / two_pi))
+        enc3 = (mm[0:1, :][None] * rep
+                + (mm[1:2, :] + mm[2:3, :])[None] * _sin_poly(rep_red))
     enc = enc3.reshape(r_tile * s, LANE).astype(jnp.bfloat16)
 
     sub = jax.lax.broadcasted_iota(jnp.int32, t3.shape, 1)
@@ -1106,7 +1167,11 @@ def fused_train_chunk(
     if interpret is None:
         interpret = _default_interpret()
     r, s = points.shape
-    r_tile = _pick_r_tile(r, s, 1024 if with_grad else 4096)
+    import os as _os
+    _tgt = int(_os.environ.get("KNT_GRAD_TILE" if with_grad else
+                               "KNT_FWD_TILE", "1024" if with_grad
+                               else "4096"))
+    r_tile = _pick_r_tile(r, s, _tgt)
     grid = r // r_tile
     last_skip = (config.n_layers - 1) in set(config.skip_indices())
     weight_args = _flatten_packed(packed)
