@@ -1,6 +1,11 @@
-"""v4 fused-kernel timings vs the XLA path on the real TPU.
+"""Fused-kernel timings on the real TPU.
 
-Usage: python scripts/profile_pallas.py [--tile 2048] [--bwd_tile 1024]
+Default: chunk-level fused forward / fwd+bwd and full pallas train steps
+at several chunk sizes.
+``--components``: isolate encode / fused_apply_mlp / fused_mlp_backward
+and scan their tile sizes (absorbed from the former profile_pallas2.py).
+
+Usage: python scripts/profile_pallas.py [--tile 2048] [--components]
 """
 
 import argparse
@@ -27,11 +32,56 @@ def timeit(fn, *args, iters=20, warmup=2, sync=None):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def run_components(cfg, iters):
+    """Isolate encode/MLP-fwd/MLP-bwd kernel cost; scan tile sizes."""
+    from keras_nerf_tpu.kernels import pack_mlp_params
+    from keras_nerf_tpu.kernels.ray_march import (encode_block128,
+                                                  fused_apply_mlp,
+                                                  fused_mlp_backward)
+    from keras_nerf_tpu.models import engine
+
+    params, _ = engine.init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(2)
+
+    r, s = 2048, 192
+    p = r * s
+    pos = jax.random.normal(key, (p, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(3), (p, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    enc_fn = jax.jit(lambda a, b: encode_block128(a, b, 10, 4))
+    ms = timeit(enc_fn, pos, dirs, iters=iters, sync=lambda o: float(o[0, 0]))
+    print(f"encode_block128 ({p} pts):        {ms:7.2f} ms")
+    enc = enc_fn(pos, dirs)
+
+    packed = pack_mlp_params(params, cfg.mlp, 10, 4)
+    g128 = jax.random.normal(key, (p, 128)).astype(jnp.bfloat16)
+
+    for tile in (512, 1024, 2048, 4096):
+        fwd = jax.jit(lambda e, _t=tile: fused_apply_mlp(
+            packed, e, cfg.mlp, tile=_t, interpret=False))
+        ms = timeit(fwd, enc, iters=iters, sync=lambda o: float(o[0, 0]))
+        print(f"fused_apply_mlp tile={tile:5d}:      {ms:7.2f} ms")
+
+    for tile in (256, 512, 1024, 2048):
+        try:
+            bwd = jax.jit(lambda e, g, _t=tile: fused_mlp_backward(
+                packed, e, g, cfg.mlp, tile=_t, interpret=False))
+            ms = timeit(bwd, enc, g128, iters=iters,
+                        sync=lambda o: float(o["b_rf"].ravel()[0]))
+            print(f"fused_mlp_backward tile={tile:5d}:  {ms:7.2f} ms")
+        except Exception as e:
+            print(f"fused_mlp_backward tile={tile:5d}:  FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tile", type=int, default=2048)
     p.add_argument("--bwd_tile", type=int, default=1024)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--components", action="store_true",
+                   help="isolate encode/fwd/bwd kernels and scan tiles")
     args = p.parse_args()
 
     from keras_nerf_tpu.data.synthetic import random_ray_batch
@@ -41,6 +91,9 @@ def main():
     from keras_nerf_tpu.models.engine import NeRFConfig
 
     cfg = NeRFConfig(white_background=True, compute_dtype="bfloat16")
+    if args.components:
+        run_components(cfg, args.iters)
+        return
     pcfg = NeRFConfig(white_background=True, compute_dtype="bfloat16",
                       use_pallas=True)
     opt = engine.make_optimizer("adam", 1e-3)

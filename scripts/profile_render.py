@@ -1,12 +1,14 @@
-"""Component timing for the 256^2 novel-view render path (real TPU).
+"""Render-path timing for the 256^2 novel-view workload (real TPU).
 
-Times, per ray chunk and per frame, at several chunk sizes:
-  * full frame render (the bench.py --mode render workload),
-  * coarse fused kernel alone (64 samples),
-  * fine fused kernel alone (192 samples),
-  * sample_pdf_sorted + merge_sorted alone.
+Default: whole-frame render at several ray-chunk sizes (end-to-end, the
+`bench.py --mode render` workload — dispatch included, the honest fps).
 
-Sync is a host scalar fetch (block_until_ready does not block on axon).
+``--components``: per-component device time with in-jit repetition
+(absorbed from the former profile_render2.py). Per-call dispatch on the
+tunneled TPU costs ~40 ms, which swamps isolated component timings; each
+component is repeated REPS times inside one jitted lax.scan (a scalar
+accumulator forces sequential execution, defeating LICM hoisting), so one
+dispatch measures REPS executions of pure device time.
 """
 
 import argparse
@@ -28,6 +30,8 @@ from keras_nerf_tpu.models.engine import NeRFConfig
 from keras_nerf_tpu.ops.sampling import (merge_sorted, midpoints,
                                          sample_pdf_sorted)
 
+REPS = 20
+
 
 def timeit(fn, sync, iters=10):
     fn()
@@ -39,18 +43,113 @@ def timeit(fn, sync, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--img_wh", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=10)
-    args = ap.parse_args()
+def device_ms(jitted, *args, calls=3):
+    """ms per inner repetition: one warm call, then `calls` timed."""
+    out = jitted(*args)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        out = jitted(*args)
+    float(jnp.sum(out))
+    return (time.perf_counter() - t0) / calls / REPS * 1e3
 
-    config = NeRFConfig(white_background=True, compute_dtype="bfloat16")
+
+def repeat(fn):
+    """fn(carry_scalar, *args) -> scalar; scanned REPS times in one jit."""
+    def run(*args):
+        def body(c, _):
+            return fn(c, *args), None
+        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=REPS)
+        return c
+    return jax.jit(run)
+
+
+def run_components(config, chunk):
     coarse, fine = engine.init_params(jax.random.PRNGKey(0), config)
     packed_c = pack_mlp_params(coarse, config.mlp, config.pos_emb_xyz,
                                config.pos_emb_dir)
     packed_f = pack_mlp_params(fine, config.mlp, config.pos_emb_xyz,
                                config.pos_emb_dir)
+
+    key = jax.random.PRNGKey(1)
+    o = jnp.zeros((chunk, 3), jnp.float32).at[:, 2].set(4.0)
+    d = jax.random.normal(key, (chunk, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t64 = jnp.sort(jax.random.uniform(key, (chunk, 64),
+                                      minval=2.0, maxval=6.0), axis=-1)
+    t192 = jnp.sort(jax.random.uniform(key, (chunk, 192),
+                                       minval=2.0, maxval=6.0), axis=-1)
+    tgt = jax.random.uniform(key, (chunk, 3))
+    w64 = jax.random.uniform(key, (chunk, 64))
+    frame_chunks = 65536 // chunk
+
+    def report(name, ms, per_frame_scale=frame_chunks):
+        print(f"{name:42s} {ms:7.2f} ms/chunk "
+              f"-> {ms * per_frame_scale:6.1f} ms/frame(256^2)")
+
+    # coarse forward kernel (emit weights, as the render path must)
+    def f(c, pc, oo, dd, tt):
+        img, dep, wts = fused_train_chunk(
+            pc, oo, dd, tt, None, config.mlp,
+            pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
+            white_background=True, with_grad=False)[:3]
+        return c + jnp.sum(img) + wts.ravel()[0]
+    report("coarse fwd kernel 64s (+weights)",
+           device_ms(repeat(f), packed_c, o, d, t64))
+
+    # fine forward kernel, no weights output
+    def f2(c, pf, oo, dd, tt):
+        img, dep, wts = fused_train_chunk(
+            pf, oo, dd, tt, None, config.mlp,
+            pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
+            white_background=True, with_grad=False, emit_weights=False)[:3]
+        return c + jnp.sum(img)
+    report("fine fwd kernel 192s (no weights)",
+           device_ms(repeat(f2), packed_f, o, d, t192))
+
+    # sampling + merge
+    def f3(c, tt, ww, kk):
+        fp = sample_pdf_sorted(kk, midpoints(tt), ww, 128)
+        return c + jnp.sum(merge_sorted(tt, fp))
+    report("sample_pdf_sorted + merge (64->128)",
+           device_ms(repeat(f3), t64, w64, key))
+
+    # train kernels for comparison (per-frame scale = 128^2 step chunks)
+    def f4(c, pc, oo, dd, tt, gg):
+        out = fused_train_chunk(
+            pc, oo, dd, tt, gg, config.mlp,
+            pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
+            white_background=True, with_grad=True, emit_weights=True)
+        return c + jnp.sum(out[0]) + jnp.sum(out[3]["w_sf"])
+    report("coarse TRAIN kernel 64s (fwd+bwd)",
+           device_ms(repeat(f4), packed_c, o, d, t64, tgt), 8)
+
+    def f5(c, pf, oo, dd, tt, gg):
+        out = fused_train_chunk(
+            pf, oo, dd, tt, gg, config.mlp,
+            pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
+            white_background=True, with_grad=True, emit_weights=False)
+        return c + jnp.sum(out[0]) + jnp.sum(out[3]["w_sf"])
+    report("fine TRAIN kernel 192s (fwd+bwd)",
+           device_ms(repeat(f5), packed_f, o, d, t192, tgt), 8)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img_wh", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=8192,
+                    help="--components mode: ray chunk size")
+    ap.add_argument("--components", action="store_true",
+                    help="per-component device timings (in-jit repetition)")
+    args = ap.parse_args()
+
+    config = NeRFConfig(white_background=True, compute_dtype="bfloat16")
+    if args.components:
+        run_components(config, args.chunk)
+        return
+
+    coarse, fine = engine.init_params(jax.random.PRNGKey(0), config)
     _, rays = random_ray_batch(1, args.img_wh, args.img_wh, config.n_coarse,
                                jax.random.PRNGKey(1))
     num_rays = args.img_wh * args.img_wh
@@ -62,46 +161,17 @@ def main():
         float(jnp.sum(leaf.astype(jnp.float32)).ravel()[0])
 
     print(f"== render {args.img_wh}x{args.img_wh}, Nc=64 Nf=128 ==")
-
     for chunk in (2048, 4096, 8192, 16384, 65536):
         if num_rays % chunk:
             continue
-        render = jax.jit(lambda pc, pf, r, k: engine.render_image_batch(
-            pc, pf, r, k, config, chunk, with_weights=False)[1]["image"])
+        render = jax.jit(lambda pc, pf, r, k, _c=chunk:
+                         engine.render_image_batch(
+                             pc, pf, r, k, config, _c,
+                             with_weights=False)[1]["image"])
         dt = timeit(lambda: render(coarse, fine, rays,
                                    jax.random.PRNGKey(2)), sync, args.iters)
         print(f"frame chunk={chunk:6d}: {dt*1e3:8.1f} ms "
               f"({1.0/dt:5.2f} fps)")
-
-    # Component timings at one chunk size.
-    chunk = 8192
-    o = jnp.zeros((chunk, 3), jnp.float32).at[:, 2].set(4.0)
-    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (chunk, 1))
-    t64 = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 64), (chunk, 64))
-    t192 = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 192), (chunk, 192))
-    w65 = jax.random.uniform(jax.random.PRNGKey(3), (chunk, 64))
-
-    kc = jax.jit(lambda p, oo, dd, tt: fused_train_chunk(
-        p, oo, dd, tt, None, config.mlp, pos_emb_xyz=config.pos_emb_xyz,
-        pos_emb_dir=config.pos_emb_dir, white_background=True,
-        with_grad=False))
-    dt = timeit(lambda: kc(packed_c, o, d, t64), sync, args.iters)
-    per_frame = dt * (num_rays / chunk)
-    print(f"coarse kernel chunk={chunk}: {dt*1e3:6.2f} ms "
-          f"-> {per_frame*1e3:6.1f} ms/frame")
-
-    dt = timeit(lambda: kc(packed_f, o, d, t192), sync, args.iters)
-    per_frame = dt * (num_rays / chunk)
-    print(f"fine  kernel chunk={chunk}: {dt*1e3:6.2f} ms "
-          f"-> {per_frame*1e3:6.1f} ms/frame")
-
-    samp = jax.jit(lambda k, tt, ww: merge_sorted(
-        tt, sample_pdf_sorted(k, midpoints(tt), ww, config.n_fine)))
-    dt = timeit(lambda: samp(jax.random.PRNGKey(4), t64, w65), sync,
-                args.iters)
-    per_frame = dt * (num_rays / chunk)
-    print(f"sample+merge  chunk={chunk}: {dt*1e3:6.2f} ms "
-          f"-> {per_frame*1e3:6.1f} ms/frame")
 
 
 if __name__ == "__main__":
