@@ -83,8 +83,11 @@ ENC_DIR_OFF = 64   # dir block occupies lanes [64, 128)
 
 # Diagnostic ablations for scripts/profile_ablate.py (KNT_ABL env var):
 # 'noquad' removes the quadrature math, 'notri' removes only the
-# triangular scan matmuls, 'nosin' removes the encoding transcendentals.
-# Wrong math by design — never set outside profiling.
+# triangular scan matmuls, 'nosin' removes the encoding transcendentals,
+# 'norep' removes the lane->sublane sample replication, 'noenc' removes
+# all encoding construction past the replication, 'noepi' removes the
+# per-layer bias/relu epilogues. Wrong math by design — never set outside
+# profiling.
 _ABL = __import__("os").environ.get("KNT_ABL", "none")
 
 
@@ -347,7 +350,11 @@ def _forward_core(config: MLPConfig, last_skip: bool, enc, w,
             _dot(h, w["trunk_w"][i][...])
         if i > 0 and _layer_uses_enc(i, skip):
             acc = acc + _dot(enc, w["trunk_enc_w"][i][...])
-        h = jnp.maximum(acc + w["trunk_b"][i][...], 0.0).astype(jnp.bfloat16)
+        if _ABL == "noepi":
+            h = acc.astype(jnp.bfloat16)
+        else:
+            h = jnp.maximum(acc + w["trunk_b"][i][...],
+                            0.0).astype(jnp.bfloat16)
         if keep_acts:
             h_list.append(h)
 
@@ -799,8 +806,11 @@ def _backward_core(config: MLPConfig, last_skip: bool, enc, g_rgb128,
            + dX(d_sigma_pre, w["w_sf"][:, u:]))
 
     for i in reversed(range(n)):
-        d_pre = (d_h * (h_list[i].astype(jnp.float32) > 0.0)
-                 ).astype(jnp.bfloat16)
+        if _ABL == "noepi":
+            d_pre = d_h.astype(jnp.bfloat16)
+        else:
+            d_pre = (d_h * (h_list[i].astype(jnp.float32) > 0.0)
+                     ).astype(jnp.bfloat16)
         a_in = enc if i == 0 else h_list[i - 1]
         _acc_out(d["trunk_w"][i], dW(a_in, d_pre))
         if i > 0 and _layer_uses_enc(i, skip):
@@ -1031,7 +1041,10 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
             config, last_skip, out_refs[2 if emit_weights else 1:])
 
     # ---- in-kernel encoding + sample intervals ---------------------------
-    t3 = _replicate_lanes(points_ref[...])               # [r_tile, S, 128]
+    if _ABL == "norep":
+        t3 = points_ref[0, 0] * jnp.ones((r_tile, s, LANE), jnp.float32)
+    else:
+        t3 = _replicate_lanes(points_ref[...])           # [r_tile, S, 128]
     rep = (base_ref[...][:, None, :]
            + t3 * slope_ref[...][:, None, :])
     mm = masks_ref[...]
@@ -1043,7 +1056,10 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     # approximation cannot be trusted without it (DESIGN.md precision
     # policy; the raw-coordinate lanes use the unreduced rep).
     two_pi = 2.0 * np.pi
-    if _ABL == "nosin":
+    if _ABL == "noenc":
+        enc3 = jnp.broadcast_to(base_ref[...][:, None, :],
+                                (r_tile, s, LANE))
+    elif _ABL == "nosin":
         enc3 = (mm[0:1, :] + mm[1:2, :] + mm[2:3, :])[None] * rep_shift
     else:
         rep_red = rep_shift - two_pi * jnp.round(rep_shift * (1.0 / two_pi))

@@ -6,9 +6,12 @@ Default: whole-frame render at several ray-chunk sizes (end-to-end, the
 ``--components``: per-component device time with in-jit repetition
 (absorbed from the former profile_render2.py). Per-call dispatch on the
 tunneled TPU costs ~40 ms, which swamps isolated component timings; each
-component is repeated REPS times inside one jitted lax.scan (a scalar
-accumulator forces sequential execution, defeating LICM hoisting), so one
-dispatch measures REPS executions of pure device time.
+component is repeated REPS times inside one jitted lax.scan. The carry
+scalar is folded into an INPUT of every repetition (not just the output
+sum) — a carry that only sequences the accumulation leaves the component
+itself loop-invariant and LICM hoists it out of the scan, dividing the
+reading by REPS (verify-skill pitfall; the pre-round-3 version of this
+script had exactly that bug).
 """
 
 import argparse
@@ -90,7 +93,7 @@ def run_components(config, chunk):
     # coarse forward kernel (emit weights, as the render path must)
     def f(c, pc, oo, dd, tt):
         img, dep, wts = fused_train_chunk(
-            pc, oo, dd, tt, None, config.mlp,
+            pc, oo + c * 1e-30, dd, tt, None, config.mlp,
             pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
             white_background=True, with_grad=False)[:3]
         return c + jnp.sum(img) + wts.ravel()[0]
@@ -100,7 +103,7 @@ def run_components(config, chunk):
     # fine forward kernel, no weights output
     def f2(c, pf, oo, dd, tt):
         img, dep, wts = fused_train_chunk(
-            pf, oo, dd, tt, None, config.mlp,
+            pf, oo + c * 1e-30, dd, tt, None, config.mlp,
             pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
             white_background=True, with_grad=False, emit_weights=False)[:3]
         return c + jnp.sum(img)
@@ -109,7 +112,7 @@ def run_components(config, chunk):
 
     # sampling + merge
     def f3(c, tt, ww, kk):
-        fp = sample_pdf_sorted(kk, midpoints(tt), ww, 128)
+        fp = sample_pdf_sorted(kk, midpoints(tt), ww + c * 1e-30, 128)
         return c + jnp.sum(merge_sorted(tt, fp))
     report("sample_pdf_sorted + merge (64->128)",
            device_ms(repeat(f3), t64, w64, key))
@@ -117,7 +120,7 @@ def run_components(config, chunk):
     # train kernels for comparison (per-frame scale = 128^2 step chunks)
     def f4(c, pc, oo, dd, tt, gg):
         out = fused_train_chunk(
-            pc, oo, dd, tt, gg, config.mlp,
+            pc, oo + c * 1e-30, dd, tt, gg, config.mlp,
             pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
             white_background=True, with_grad=True, emit_weights=True)
         return c + jnp.sum(out[0]) + jnp.sum(out[3]["w_sf"])
@@ -126,7 +129,7 @@ def run_components(config, chunk):
 
     def f5(c, pf, oo, dd, tt, gg):
         out = fused_train_chunk(
-            pf, oo, dd, tt, gg, config.mlp,
+            pf, oo + c * 1e-30, dd, tt, gg, config.mlp,
             pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
             white_background=True, with_grad=True, emit_weights=False)
         return c + jnp.sum(out[0]) + jnp.sum(out[3]["w_sf"])
