@@ -108,11 +108,12 @@ def bench_render(args):
                 pf, r, grid, k, config, n_samples=args.occupancy_samples,
                 ray_chunks=ray_chunks)["image"])
     else:
-        # The novel-view path the inference CLI uses: image + depth only.
+        # The novel-view path the inference CLI uses: fine image + depth
+        # only — the coarse pass runs sigma-only (its image is discarded).
         render = jax.jit(
             lambda pc, pf, r, k: engine.render_image_batch(
                 pc, pf, r, k, config, ray_chunks,
-                with_weights=False)[1]["image"])
+                with_weights=False, coarse_image=False)[1]["image"])
 
     key = jax.random.PRNGKey(2)
     for i in range(args.warmup):

@@ -161,7 +161,8 @@ def main():
                 rays, near=args.near, far=args.far,
                 n_samples=args.occupancy_samples)
         else:
-            _, fine = nerf.predict_and_render_images(rays, with_weights=False)
+            _, fine = nerf.predict_and_render_images(
+                rays, with_weights=False, coarse_image=False)
         images = np.asarray(fine['image'])[:len(group)]
         depths = np.asarray(fine['depth'])[:len(group)]
         for frame, depth in zip(images, depths):

@@ -329,12 +329,17 @@ def _dot(a, b):
 
 
 def _forward_core(config: MLPConfig, last_skip: bool, enc, w,
-                  keep_acts: bool = False):
+                  keep_acts: bool = False, sigma_only: bool = False):
     """Shared fwd math over one ``[T, 128]`` encoded tile.
 
     Returns ``(rgb_pre [T, 128] f32, sigma_pre [T, 128] f32 (sigma lane 0),
     acts)`` where ``acts`` (kept only for the backward) is
     ``(h_list, features, rf)``.
+
+    ``sigma_only`` skips the color heads entirely (``rgb_pre`` is None):
+    the trunk + the sigma half of the sigma/feature matmul — ~19% fewer
+    FLOPs. Exact for consumers that never read rgb (the render path's
+    coarse pass, which only feeds hierarchical sampling).
     """
     u = config.dense_units
     skip = set(config.skip_indices())
@@ -357,6 +362,15 @@ def _forward_core(config: MLPConfig, last_skip: bool, enc, w,
                             0.0).astype(jnp.bfloat16)
         if keep_acts:
             h_list.append(h)
+
+    if sigma_only:
+        # Only the sigma block of the fused sigma/feature matmul (the
+        # [.., u:] lane slice of the packed weights is 128-aligned).
+        sigma_pre = _dot(h, w["w_sf"][:, u:])
+        if last_skip:
+            sigma_pre = sigma_pre + _dot(enc, w["w_sf_enc"][:, u:])
+        sigma_pre = sigma_pre + w["b_sf"][:, u:]
+        return None, sigma_pre, None
 
     sf = _dot(h, w["w_sf"][...])
     if last_skip:
@@ -1009,6 +1023,7 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
 def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
                         white_background: bool, r_tile: int, s: int,
                         inv_n3: float, with_grad: bool, emit_weights: bool,
+                        sigma_only: bool,
                         base_ref, slope_ref, points_ref, masks_ref, *refs):
     """Per-ray-tile fused train kernel.
 
@@ -1071,7 +1086,29 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     delta3 = jnp.where(sub < s - 1, _shift_up(t3, 1, s) - t3, 1e-10)
 
     rgb_pre, sigma_pre, acts = _forward_core(
-        config, last_skip, enc, w, keep_acts=with_grad)
+        config, last_skip, enc, w, keep_acts=with_grad,
+        sigma_only=sigma_only)
+
+    if sigma_only:
+        # Density-only render pass: weights + depth, no color. The weights
+        # math is identical to _quadrature_fwd's (same tri-matmul
+        # transmittance); the image/white-bg/clip lanes are never built.
+        lane = _lane_iota(sigma_pre.shape)
+        sigma_b = _lane_bcast(
+            jnp.maximum(jnp.where(lane == 0, sigma_pre, 0.0), 0.0)
+        ).reshape(r_tile, s, LANE)
+        x = sigma_b * delta3
+        weights = (1.0 - jnp.exp(-x)) * jnp.exp(
+            -_tri_matmul_sub(x, s, upper=False))
+        depth = jnp.sum(weights * t3, axis=1)        # [r_tile, 128]
+        image_ref[...] = jnp.where(_lane_iota(depth.shape) == 3, depth, 0.0)
+        w_sub = jax.lax.broadcasted_iota(jnp.int32, weights.shape, 1)
+        w_lane = _lane_iota(weights.shape)
+        for k in range(0, s, LANE):
+            weights_ref[:, k:k + LANE] = jnp.sum(
+                jnp.where(w_sub == w_lane + k, weights, 0.0), axis=1)
+        return
+
     rgb = jax.nn.sigmoid(rgb_pre)
     lane = _lane_iota(rgb.shape)
     rgb3 = jnp.where(lane < 3, rgb, 0.0).reshape(r_tile, s, LANE)
@@ -1139,7 +1176,7 @@ def _pick_r_tile(num_rays: int, s: int, target_points: int) -> int:
     jax.jit,
     static_argnames=("config", "pos_emb_xyz", "pos_emb_dir",
                      "white_background", "with_grad", "emit_weights",
-                     "interpret"))
+                     "sigma_only", "interpret"))
 def fused_train_chunk(
     packed: dict,
     origin: jnp.ndarray,
@@ -1152,12 +1189,20 @@ def fused_train_chunk(
     white_background: bool = False,
     with_grad: bool = True,
     emit_weights: bool = True,
+    sigma_only: bool = False,
     interpret: bool | None = None,
 ):
     """One model's fused encode+forward+render(+backward) over a ray chunk.
 
     ``emit_weights=False`` skips the compact [R, S] weights output — the
     fine TRAIN pass never consumes it.
+
+    ``sigma_only`` (render only: requires ``not with_grad`` and
+    ``emit_weights``) skips the color heads and the image quadrature —
+    the returned image tensor carries depth only (rgb lanes are zero).
+    Exact for the render path's coarse pass, whose only consumers are the
+    sampling weights (the reference CLI discards the coarse image,
+    `inference.py:63`).
 
     The flagship kernel: positional encoding, MLP forward, volume-rendering
     quadrature, the MSE loss cotangent AND the full backward all run in ONE
@@ -1182,6 +1227,9 @@ def fused_train_chunk(
     """
     if interpret is None:
         interpret = _default_interpret()
+    if sigma_only:
+        assert not with_grad and emit_weights, (
+            "sigma_only is a render-path mode: no gradients, weights out")
     r, s = points.shape
     import os as _os
     _tgt = int(_os.environ.get("KNT_GRAD_TILE" if with_grad else
@@ -1234,7 +1282,7 @@ def fused_train_chunk(
     outs = pl.pallas_call(
         functools.partial(
             _train_chunk_kernel, config, last_skip, white_background,
-            r_tile, s, inv_n3, with_grad, emit_weights),
+            r_tile, s, inv_n3, with_grad, emit_weights, sigma_only),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),

@@ -294,6 +294,7 @@ def render_image_batch(
     config: NeRFConfig,
     ray_chunks: int,
     with_weights: bool = True,
+    coarse_image: bool = True,
 ) -> tuple[dict, dict]:
     """Full-image chunked inference (`predict_and_render_images`,
     `nerf.py:229-304`).
@@ -304,6 +305,11 @@ def render_image_batch(
         (API parity with the reference). ``False`` skips the fine pass's
         weights entirely on the fused path — the fast option for pure
         novel-view rendering (image + depth only).
+      coarse_image: ``False`` declares the coarse image unused (the
+        reference CLI discards it, `inference.py:63`): the coarse dict's
+        ``image`` comes back all-zero and its color heads are skipped
+        (sigma-only fused pass; dead-code-eliminated on the XLA path).
+        The fine dict and the coarse depth are unchanged.
 
     Returns:
       ``(coarse, fine)`` dicts with ``image [B,H,W,3]``, ``depth [B,H,W]``
@@ -333,7 +339,7 @@ def render_image_batch(
             oc, dc, tc, k = x
             (ic, dpc, wc), (iff, dpf, wf) = _fused_chunk_pair(
                 packed_c, packed_f, oc, dc, tc, k, config,
-                with_weights=with_weights)
+                with_weights=with_weights, coarse_image=coarse_image)
             return None, (RenderOutput(image=ic, depth=dpc, weights=wc),
                           RenderOutput(image=iff, depth=dpf, weights=wf))
     else:
@@ -341,6 +347,12 @@ def render_image_batch(
             oc, dc, tc, k = x
             out_c, out_f = render_chunk_pair(
                 coarse_params, fine_params, oc, dc, tc, k, config)
+            if not coarse_image:
+                # Match the fused path's contract (zeros) — and with the
+                # returned image unused, XLA dead-code-eliminates the
+                # coarse color-head computation.
+                out_c = out_c._replace(
+                    image=jnp.zeros_like(out_c.image))
             return None, (out_c, out_f)
 
     _, (out_c, out_f) = jax.lax.scan(body, None, xs)
@@ -396,7 +408,7 @@ def _use_fused_train(config: NeRFConfig, loss_fn) -> bool:
 
 def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
                       key, config: NeRFConfig, target=None,
-                      with_weights=True):
+                      with_weights=True, coarse_image=True):
     """Coarse pass -> hierarchical sampling -> fine pass through the fully
     fused train kernel (`kernels/ray_march.py: fused_train_chunk`).
 
@@ -412,7 +424,10 @@ def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
     out_c = fused_train_chunk(
         packed_c, origin, direction, coarse_points, target, config.mlp,
         pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
-        white_background=config.white_background, with_grad=with_grad)
+        white_background=config.white_background, with_grad=with_grad,
+        # Render-only callers that discard the coarse image (the reference
+        # CLI does, `inference.py:63`) skip its color heads entirely.
+        sigma_only=(not with_grad) and (not coarse_image))
     weights_c = out_c[2]
 
     mids = midpoints(coarse_points)

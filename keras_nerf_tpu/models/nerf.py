@@ -165,9 +165,10 @@ class NeRF:
             self._render = jax.jit(render_fn)
         else:
             # with_weights=False is the fast novel-view path (image+depth
-            # only); the mesh render keeps the full dict (fixed out specs).
-            self._render = jax.jit(render_fn,
-                                   static_argnames=("with_weights",))
+            # only); coarse_image=False additionally skips the coarse color
+            # heads; the mesh render keeps the full dict (fixed out specs).
+            self._render = jax.jit(
+                render_fn, static_argnames=("with_weights", "coarse_image"))
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
         self._eval_step = jax.jit(eval_fn)
         # Mesh fallback for batches the shard_map in_specs cannot split
@@ -233,17 +234,22 @@ class NeRF:
         return out
 
     def predict_and_render_images(self, rays, key=None,
-                                  with_weights: bool = True
+                                  with_weights: bool = True,
+                                  coarse_image: bool = True
                                   ) -> tuple[dict, dict]:
         """Render full images: ``(coarse, fine)`` dicts of image/depth(/
         weights) (`nerf.py:229-304`). ``with_weights=False`` is the fast
-        image+depth-only path for novel-view rendering (single-device)."""
+        image+depth-only path for novel-view rendering (single-device);
+        ``coarse_image=False`` additionally skips the coarse color heads
+        (coarse ``image`` returns all-zero — use when only the fine render
+        is consumed, as the reference CLI does)."""
         self._require_compiled()
         args = (self.state.coarse_params, self.state.fine_params, rays,
                 key if key is not None else self._eval_key)
         if self.mesh is not None:
             return self._render(*args)
-        return self._render(*args, with_weights=with_weights)
+        return self._render(*args, with_weights=with_weights,
+                            coarse_image=coarse_image)
 
     # --------------------------------------------- occupancy-grid rendering
 

@@ -90,12 +90,12 @@ def run_components(config, chunk):
         print(f"{name:42s} {ms:7.2f} ms/chunk "
               f"-> {ms * per_frame_scale:6.1f} ms/frame(256^2)")
 
-    # coarse forward kernel (emit weights, as the render path must)
+    # coarse forward kernel (sigma-only + weights, as the render path runs)
     def f(c, pc, oo, dd, tt):
         img, dep, wts = fused_train_chunk(
             pc, oo + c * 1e-30, dd, tt, None, config.mlp,
             pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
-            white_background=True, with_grad=False)[:3]
+            white_background=True, with_grad=False, sigma_only=True)[:3]
         return c + jnp.sum(img) + wts.ravel()[0]
     report("coarse fwd kernel 64s (+weights)",
            device_ms(repeat(f), packed_c, o, d, t64))

@@ -263,6 +263,48 @@ def test_fused_train_chunk_forward_matches_render(quad_cfg):
                                atol=0.03)
 
 
+def test_sigma_only_coarse_render_exact(quad_cfg):
+    """coarse_image=False (sigma-only coarse pass) must leave the fine
+    render and the coarse depth/weights EXACTLY unchanged — only the
+    coarse image is dropped (returned all-zero). Guards the render-path
+    fast coarse pass (`engine.render_image_batch(coarse_image=False)`,
+    the inference CLI default)."""
+    import dataclasses
+    cfg = dataclasses.replace(quad_cfg, n_fine=8, use_pallas=True)
+    params_c, params_f = engine.init_params(jax.random.PRNGKey(2), cfg)
+    o, d, t, _ = _chunk_fixture(cfg)
+    rays = (o.reshape(1, 4, 8, 3), d.reshape(1, 4, 8, 3),
+            t.reshape(1, 4, 8, cfg.n_coarse))
+    key = jax.random.PRNGKey(7)
+
+    full_c, full_f = engine.render_image_batch(
+        params_c, params_f, rays, key, cfg, ray_chunks=32)
+    fast_c, fast_f = engine.render_image_batch(
+        params_c, params_f, rays, key, cfg, ray_chunks=32,
+        coarse_image=False)
+
+    np.testing.assert_array_equal(np.asarray(fast_f["image"]),
+                                  np.asarray(full_f["image"]))
+    np.testing.assert_array_equal(np.asarray(fast_f["depth"]),
+                                  np.asarray(full_f["depth"]))
+    np.testing.assert_array_equal(np.asarray(fast_c["depth"]),
+                                  np.asarray(full_c["depth"]))
+    np.testing.assert_array_equal(np.asarray(fast_c["weights"]),
+                                  np.asarray(full_c["weights"]))
+    assert np.all(np.asarray(fast_c["image"]) == 0.0)
+
+    # XLA path: same contract (zeros coarse image, identical fine).
+    xla_cfg = dataclasses.replace(cfg, use_pallas=False)
+    xf_c, xf_f = engine.render_image_batch(
+        params_c, params_f, rays, key, xla_cfg, ray_chunks=32,
+        coarse_image=False)
+    xr_c, xr_f = engine.render_image_batch(
+        params_c, params_f, rays, key, xla_cfg, ray_chunks=32)
+    np.testing.assert_array_equal(np.asarray(xf_f["image"]),
+                                  np.asarray(xr_f["image"]))
+    assert np.all(np.asarray(xf_c["image"]) == 0.0)
+
+
 @pytest.mark.parametrize("white_bg", [True, False])
 def test_fused_train_chunk_grads_match_autodiff(white_bg):
     """The one-kernel fwd+quadrature+MSE+bwd must reproduce XLA autodiff
