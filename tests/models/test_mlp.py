@@ -75,7 +75,7 @@ def test_grads_flow_everywhere(config):
         rgb, sigma = apply_mlp(p, xyz, dirs, config)
         return jnp.mean(rgb ** 2) + jnp.mean(sigma)
 
-    grads = jax.grad(loss)(params)
+    grads = jax.jit(jax.grad(loss))(params)
     for path, g in jax.tree_util.tree_leaves_with_path(grads):
         arr = np.asarray(g)
         assert np.isfinite(arr).all(), path

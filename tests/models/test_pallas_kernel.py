@@ -143,8 +143,8 @@ def test_fused_backward_matches_xla_grads():
             prm, pos, dirs, cfg.mlp, 10, 4, 64, True)
         return jnp.sum(rgb * jnp.arange(3)) + 0.5 * jnp.sum(sg ** 2)
 
-    g_xla = jax.grad(xla_loss)(params)
-    g_fused = jax.grad(fused_loss)(params)
+    g_xla = jax.jit(jax.grad(xla_loss))(params)
+    g_fused = jax.jit(jax.grad(fused_loss))(params)
     for (path, a), (_, b) in zip(
             jax.tree_util.tree_leaves_with_path(g_xla),
             jax.tree_util.tree_leaves_with_path(g_fused)):
@@ -206,8 +206,8 @@ def test_fused_backward_last_layer_skip():
                                       True)
         return jnp.sum(rgb * jnp.arange(3)) + 0.5 * jnp.sum(sg ** 2)
 
-    g_xla = jax.grad(xla_loss)(params)
-    g_fused = jax.grad(fused_loss)(params)
+    g_xla = jax.jit(jax.grad(xla_loss))(params)
+    g_fused = jax.jit(jax.grad(fused_loss))(params)
     for (path, a), (_, b) in zip(
             jax.tree_util.tree_leaves_with_path(g_xla),
             jax.tree_util.tree_leaves_with_path(g_fused)):
@@ -323,7 +323,7 @@ def test_fused_train_chunk_grads_match_autodiff(white_bg):
                                      cfg)
         return jnp.mean(jnp.square(out.image - tgt))
 
-    g_xla = jax.grad(xla_loss)(params)
+    g_xla = jax.jit(jax.grad(xla_loss))(params)
 
     packed = pack_mlp_params(params, cfg.mlp, 10, 4)
     img, _, _, d_packed = fused_train_chunk(
@@ -424,7 +424,7 @@ def test_saturated_pixel_gradient_matches_xla():
             dataclasses.replace(cfg, use_pallas=False))
         return jnp.mean((out.image - target) ** 2)
 
-    g_xla = jax.grad(xla_loss)(params)
+    g_xla = jax.jit(jax.grad(xla_loss))(params)
 
     from keras_nerf_tpu.kernels import pack_mlp_params, unpack_grads
     from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
