@@ -919,6 +919,125 @@ def _tri_matmul_sub(x3, s, *, upper: bool):
                                   preferred_element_type=jnp.float32))
 
 
+_BIG = 3.0e38  # finite +/- sentinel for masked min/max (avoids inf lowering)
+
+
+def _prefix_sum_sub(x3, s):
+    """Inclusive cumulative sum along the sample (sublane) axis of
+    ``[R_T, S, 128]`` — f32 Hillis-Steele (log2(S) roll+add passes).
+
+    Used where the summands' scale is unknown a priori (the sampling
+    CDF over raw weights): unlike :func:`_tri_matmul_sub`'s two-piece
+    bf16 MXU contraction (~1.5e-5 relative), this is plain f32
+    parallel-prefix arithmetic — the same error class as XLA's
+    ``jnp.cumsum`` — so the in-kernel CDF cannot amplify through the
+    inverse-CDF's ``denom >= 1e-5`` clamp.
+    """
+    sub = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 1)
+    acc = x3
+    k = 1
+    while k < s:
+        acc = acc + jnp.where(sub >= k, pltpu.roll(acc, k, axis=1), 0.0)
+        k *= 2
+    return acc
+
+
+def _sample_merge_prologue(cp128, w128, u128, r_tile, s_c, n):
+    """In-kernel hierarchical sampling: inverse-CDF draw + rank merge.
+
+    The fine pass's prologue — replaces the XLA-side
+    ``sample_pdf_sorted`` + ``merge_sorted`` chain
+    (`ops/sampling.py`; reference `keras_nerf/model/nerf/utils.py:61-97`,
+    `nerf.py:182-191`) with the same math on VMEM-resident tiles, and
+    produces the merged depths DIRECTLY in the lane-replicated
+    ``[R_T, S_c + N, 128]`` layout every downstream consumer wants (the
+    separate O(S^2) :func:`_replicate_lanes` pass over the merged depths
+    disappears too).
+
+    Args:
+      cp128: ``[r_tile, 128]`` f32 — sorted coarse depths in lanes
+        ``< s_c``, ``+_BIG`` in the padding lanes (pushes phantom merge
+        ranks past every real slot).
+      w128: ``[r_tile, 128]`` f32 — coarse render weights in lanes
+        ``< s_c`` (padding lanes ignored).
+      u128: ``[r_tile, 128]`` f32 — SORTED uniform draws in lanes
+        ``< n``, ``2.0`` in the padding lanes.
+
+    Returns:
+      ``[r_tile, s_c + n, 128]`` f32 merged sorted depths, replicated
+      across lanes.
+
+    Math parity with the XLA chain (`ops/sampling.py: invert_cdf`): the
+    65-entry 0-prepended CDF is realized as the s_c exclusive prefix
+    sums (entries 0..s_c-1) — the final entry (the total, ~1) can never
+    be a "below" candidate for u < 1 and equals the clamp value the
+    reference uses when no entry exceeds u, so both layouts compute
+    identical below/above brackets. Midpoints are edge-padded exactly
+    like the reference's two-past-the-end clamp resolves.
+    """
+    lane2 = _lane_iota(cp128.shape)
+    cp = cp128[:, :s_c]                              # [r, s_c] lanes
+    wp = w128[:, :s_c] + 1e-5
+
+    # CDF in the [r, s_c(sub), 128] layout: replicate bins onto
+    # sublanes once, then an exclusive f32 prefix sum.
+    wp3 = _replicate_lanes(wp)                       # [r, s_c, 128]
+    total_w3 = jnp.sum(wp3, axis=1, keepdims=True)
+    pdf3 = wp3 / total_w3
+    incl3 = _prefix_sum_sub(pdf3, s_c)
+    cdf3 = incl3 - pdf3                              # exclusive prefix
+    total = jnp.max(incl3, axis=1)                   # [r, 128] (~1.0)
+
+    # Bin midpoints, edge-padded onto the s_c sublane entries.
+    cp3 = _replicate_lanes(cp)                       # [r, s_c, 128]
+    sub = jax.lax.broadcasted_iota(jnp.int32, cp3.shape, 1)
+    mids_raw = 0.5 * (cp3 + _shift_up(cp3, 1, s_c))
+    interior = sub < s_c - 1
+    mids_last3 = jnp.max(jnp.where(interior, mids_raw, -_BIG),
+                         axis=1, keepdims=True)
+    mids3 = jnp.where(interior, mids_raw, mids_last3)
+    mids_last = jnp.max(mids3, axis=1)               # [r, 128]
+
+    # Inverse CDF: bracket each draw by masked sublane reductions.
+    u = u128[...]
+    le3 = cdf3 <= u[:, None, :]                      # [r, s_c, 128]
+    cdf_below = jnp.max(jnp.where(le3, cdf3, -_BIG), axis=1)
+    cdf_above = jnp.min(jnp.where(le3, _BIG, cdf3), axis=1)
+    cdf_above = jnp.where(cdf_above >= 0.5 * _BIG, total, cdf_above)
+    bins_below = jnp.max(jnp.where(le3, mids3, -_BIG), axis=1)
+    bins_above = jnp.min(jnp.where(le3, _BIG, mids3), axis=1)
+    bins_above = jnp.where(bins_above >= 0.5 * _BIG, mids_last,
+                           bins_above)
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    fine_t = bins_below + t * (bins_above - bins_below)  # [r, 128] sorted
+    # Phantom draw lanes (n < 128) get +_BIG so their merge ranks fall
+    # past every real output slot.
+    fine_t = jnp.where(lane2 < n, fine_t, _BIG)
+
+    # Rank merge (ops/sampling.py: merge_sorted — same tie-break: a
+    # coarse depth precedes an equal fine depth).
+    s_total = s_c + n
+    fine3 = _replicate_lanes(fine_t)                 # [r, 128, 128]
+    cnt_c = jnp.sum(jnp.where(fine3 < cp128[:, None, :], 1.0, 0.0),
+                    axis=1)                          # [r, 128]
+    rank_c = lane2.astype(jnp.float32) + cnt_c
+    cnt_f = jnp.sum(jnp.where(cp3 <= fine_t[:, None, :], 1.0, 0.0),
+                    axis=1)                          # [r, 128]
+    rank_f = lane2.astype(jnp.float32) + cnt_f
+
+    slot = jax.lax.broadcasted_iota(
+        jnp.int32, (r_tile, s_total, LANE), 1).astype(jnp.float32)
+    picked_c = jnp.sum(
+        jnp.where(rank_c[:, None, :] == slot, cp128[:, None, :], 0.0),
+        axis=-1, keepdims=True)
+    picked_f = jnp.sum(
+        jnp.where(rank_f[:, None, :] == slot, fine_t[:, None, :], 0.0),
+        axis=-1, keepdims=True)
+    return jnp.broadcast_to(picked_c + picked_f, (r_tile, s_total, LANE))
+
+
 def _quadrature_fwd(rgb3, sigma_b, delta3, r_tile, s,
                     white_background: bool):
     """Volume rendering on lane-replicated ray tiles.
@@ -1023,7 +1142,7 @@ def _quadrature_bwd(d_image, rgb3, weights, delta3, quad_state,
 def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
                         white_background: bool, r_tile: int, s: int,
                         inv_n3: float, with_grad: bool, emit_weights: bool,
-                        sigma_only: bool,
+                        sigma_only: bool, sample_cfg: tuple | None,
                         base_ref, slope_ref, points_ref, masks_ref, *refs):
     """Per-ray-tile fused train kernel.
 
@@ -1040,6 +1159,12 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     weights [r_tile, S_pad] f32, (packed gradient accumulators when
     with_grad).
     """
+    if sample_cfg is not None:
+        # Fused hierarchical sampling: points_ref carries the COARSE
+        # depths (padded to 128 lanes) and the next two refs the coarse
+        # weights + sorted uniform draws.
+        w128_ref, u128_ref = refs[0], refs[1]
+        refs = refs[2:]
     if with_grad:
         target_ref = refs[0]
         refs = refs[1:]
@@ -1055,8 +1180,12 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
         d, _ = _unflatten_packed(
             config, last_skip, out_refs[2 if emit_weights else 1:])
 
-    # ---- in-kernel encoding + sample intervals ---------------------------
-    if _ABL == "norep":
+    # ---- in-kernel (sampling +) encoding + sample intervals --------------
+    if sample_cfg is not None:
+        s_c, n_fine = sample_cfg
+        t3 = _sample_merge_prologue(points_ref[...], w128_ref[...],
+                                    u128_ref[...], r_tile, s_c, n_fine)
+    elif _ABL == "norep":
         t3 = points_ref[0, 0] * jnp.ones((r_tile, s, LANE), jnp.float32)
     else:
         t3 = _replicate_lanes(points_ref[...])           # [r_tile, S, 128]
@@ -1181,7 +1310,7 @@ def fused_train_chunk(
     packed: dict,
     origin: jnp.ndarray,
     direction: jnp.ndarray,
-    points: jnp.ndarray,
+    points: jnp.ndarray | None,
     target: jnp.ndarray | None,
     config: MLPConfig,
     pos_emb_xyz: int = 10,
@@ -1190,6 +1319,7 @@ def fused_train_chunk(
     with_grad: bool = True,
     emit_weights: bool = True,
     sigma_only: bool = False,
+    sample_inputs: tuple | None = None,
     interpret: bool | None = None,
 ):
     """One model's fused encode+forward+render(+backward) over a ray chunk.
@@ -1230,7 +1360,23 @@ def fused_train_chunk(
     if sigma_only:
         assert not with_grad and emit_weights, (
             "sigma_only is a render-path mode: no gradients, weights out")
-    r, s = points.shape
+    if sample_inputs is not None:
+        # Fused hierarchical sampling (the fine pass): inverse-CDF +
+        # rank merge run in the kernel prologue off the coarse pass's
+        # compact weights; only the tiny sorted uniform draws come from
+        # XLA (RNG-stream parity with ops/sampling.py:
+        # sorted_uniforms). `points` must be None.
+        assert points is None
+        cp, wc, u = sample_inputs
+        r, s_c = cp.shape
+        n_fine = u.shape[1]
+        s = s_c + n_fine
+        assert s_c <= LANE and n_fine <= LANE, (
+            "fused sampling needs n_coarse <= 128 and n_fine <= 128")
+        sample_cfg = (s_c, n_fine)
+    else:
+        r, s = points.shape
+        sample_cfg = None
     import os as _os
     _tgt = int(_os.environ.get("KNT_GRAD_TILE" if with_grad else
                                "KNT_FWD_TILE", "1024" if with_grad
@@ -1246,16 +1392,29 @@ def fused_train_chunk(
     masks8 = jnp.asarray(np.pad(masks, ((0, 5), (0, 0))))  # sublane pad
 
     s_pad = _round_up(s, LANE)  # compact weights output, lane-padded
-    in_specs = [
-        pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_tile, s), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        _const_spec(masks8),
-    ]
-    operands = [base, slope, points.astype(jnp.float32), masks8]
+    ray_spec = pl.BlockSpec((r_tile, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [ray_spec, ray_spec]
+    operands = [base, slope]
+    if sample_cfg is not None:
+        # Coarse depths padded with +_BIG (phantom merge ranks land past
+        # every real slot), weights zero-padded, draws padded with 2.0
+        # (> any u — phantom draws are masked in the prologue).
+        cp128 = jnp.pad(cp.astype(jnp.float32),
+                        ((0, 0), (0, LANE - s_c)), constant_values=_BIG)
+        w128 = jnp.pad(wc.astype(jnp.float32),
+                       ((0, 0), (0, LANE - wc.shape[1])))
+        u128 = jnp.pad(u.astype(jnp.float32),
+                       ((0, 0), (0, LANE - n_fine)), constant_values=2.0)
+        in_specs += [ray_spec, _const_spec(masks8), ray_spec, ray_spec]
+        operands += [cp128, masks8, w128, u128]
+    else:
+        in_specs += [
+            pl.BlockSpec((r_tile, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(masks8),
+        ]
+        operands += [points.astype(jnp.float32), masks8]
     if with_grad:
         target128 = jnp.pad(target.astype(jnp.float32),
                             ((0, 0), (0, LANE - target.shape[1])))
@@ -1282,7 +1441,8 @@ def fused_train_chunk(
     outs = pl.pallas_call(
         functools.partial(
             _train_chunk_kernel, config, last_skip, white_background,
-            r_tile, s, inv_n3, with_grad, emit_weights, sigma_only),
+            r_tile, s, inv_n3, with_grad, emit_weights, sigma_only,
+            sample_cfg),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),

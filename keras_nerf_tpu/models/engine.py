@@ -50,6 +50,7 @@ from keras_nerf_tpu.ops.sampling import (
     merge_sorted,
     midpoints,
     sample_pdf_sorted,
+    sorted_uniforms,
 )
 
 Params = dict[str, Any]
@@ -406,6 +407,21 @@ def _use_fused_train(config: NeRFConfig, loss_fn) -> bool:
                                  config.pos_emb_dir))
 
 
+def _fused_sampling_ok(config: NeRFConfig) -> bool:
+    """Whether the fine kernel's in-kernel sampling prologue applies:
+    shapes inside its lane envelope, no profiling ablation active (the
+    KNT_ABL ablations instrument the XLA-side sampling chain), and not
+    explicitly disabled (KNT_NO_FUSED_SAMPLING=1 keeps the XLA-side
+    sample_pdf_sorted/merge_sorted chain for A/B measurement)."""
+    import os
+
+    from keras_nerf_tpu.kernels.ray_march import _ABL
+
+    return (not os.environ.get("KNT_NO_FUSED_SAMPLING")
+            and _ABL == "none"
+            and config.n_coarse <= 128 and config.n_fine <= 128)
+
+
 def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
                       key, config: NeRFConfig, target=None,
                       with_weights=True, coarse_image=True):
@@ -430,21 +446,37 @@ def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
         sigma_only=(not with_grad) and (not coarse_image))
     weights_c = out_c[2]
 
-    mids = midpoints(coarse_points)
-    if not with_grad and config.fast_render > 0:
-        # Opt-in fast render: importance samples only (no coarse merge).
-        points = sample_pdf_sorted(key, mids, weights_c, config.fast_render)
-    else:
-        fine_points = sample_pdf_sorted(key, mids, weights_c, config.n_fine)
-        points = merge_sorted(coarse_points, fine_points)
     # The fine pass's weights are only needed when the caller wants them in
     # the render dict (the train pass and metric-only eval never consume
     # them) — skipping them saves a large [R*S, 128] HBM write per chunk.
-    out_f = fused_train_chunk(
-        packed_f, origin, direction, points, target, config.mlp,
+    fine_kwargs = dict(
         pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
         white_background=config.white_background, with_grad=with_grad,
         emit_weights=(not with_grad) and with_weights)
+    if not with_grad and config.fast_render > 0:
+        # Opt-in fast render: importance samples only (no coarse merge).
+        points = sample_pdf_sorted(
+            key, midpoints(coarse_points), weights_c, config.fast_render)
+        out_f = fused_train_chunk(
+            packed_f, origin, direction, points, target, config.mlp,
+            **fine_kwargs)
+    elif _fused_sampling_ok(config):
+        # Hierarchical sampling (inverse-CDF + rank merge) runs in the
+        # fine kernel's PROLOGUE off the coarse pass's compact weights;
+        # only the sorted uniform draws come from XLA — same RNG stream
+        # and same sampling math as the sample_pdf_sorted/merge_sorted
+        # chain (kernels/ray_march.py: _sample_merge_prologue).
+        u = sorted_uniforms(key, (origin.shape[0],), config.n_fine)
+        out_f = fused_train_chunk(
+            packed_f, origin, direction, None, target, config.mlp,
+            sample_inputs=(coarse_points, weights_c, u), **fine_kwargs)
+    else:
+        fine_points = sample_pdf_sorted(
+            key, midpoints(coarse_points), weights_c, config.n_fine)
+        points = merge_sorted(coarse_points, fine_points)
+        out_f = fused_train_chunk(
+            packed_f, origin, direction, points, target, config.mlp,
+            **fine_kwargs)
     return out_c, out_f
 
 

@@ -14,6 +14,7 @@ from keras_nerf_tpu.ops.sampling import (
     midpoints,
     sample_pdf,
     sample_pdf_sorted,
+    sorted_uniforms,
     stratified_sample_points,
 )
 
@@ -32,6 +33,7 @@ __all__ = [
     "render_rays",
     "sample_pdf",
     "sample_pdf_sorted",
+    "sorted_uniforms",
     "ssim",
     "stratified_sample_points",
 ]

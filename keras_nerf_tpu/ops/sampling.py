@@ -153,6 +153,28 @@ def invert_cdf(
     return bins_below + t * (bins_above - bins_below)
 
 
+def sorted_uniforms(
+    key: jax.Array,
+    batch_shape: tuple[int, ...],
+    n_samples: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """``[*batch_shape, n_samples]`` ASCENDING uniform(0, 1) draws.
+
+    Uniform order statistics via the exponential-spacings construction
+    (``u_i = S_i / S_{n+1}`` for ``S`` the cumsum of iid Exp(1)) —
+    exactly the distribution of sorting ``n`` iid uniforms, produced
+    already ascending. Shared by :func:`sample_pdf_sorted` and the fused
+    kernel's in-kernel sampling prologue (`kernels/ray_march.py:
+    _sample_merge_prologue`) so both paths consume an identical RNG
+    stream for a given key.
+    """
+    exp = jax.random.exponential(
+        key, (*batch_shape, n_samples + 1), dtype=dtype)
+    s = jnp.cumsum(exp, axis=-1)
+    return s[..., :-1] / s[..., -1:]
+
+
 def sample_pdf_sorted(
     key: jax.Array,
     mid_points: jnp.ndarray,
@@ -172,10 +194,8 @@ def sample_pdf_sorted(
     (`keras_nerf/model/nerf/utils.py:72-73` draws unsorted uniforms and
     sorts after the merge, `nerf.py:190-191`).
     """
-    exp = jax.random.exponential(
-        key, (*mid_points.shape[:-1], n_samples + 1), dtype=mid_points.dtype)
-    s = jnp.cumsum(exp, axis=-1)
-    u = s[..., :-1] / s[..., -1:]
+    u = sorted_uniforms(key, mid_points.shape[:-1], n_samples,
+                        dtype=mid_points.dtype)
     return invert_cdf(u, mid_points, weights)
 
 

@@ -389,6 +389,90 @@ def test_fused_train_step_matches_xla_step():
         assert rel < 0.08, rel
 
 
+@pytest.mark.parametrize("s_c,n_fine", [(64, 128), (24, 16)])
+def test_fused_sampling_matches_xla_chain(s_c, n_fine):
+    """The fine kernel's in-kernel sampling prologue (inverse-CDF + rank
+    merge off the coarse weights) must reproduce the XLA
+    sample_pdf_sorted + merge_sorted chain: same sorted uniform draws in,
+    near-identical outputs (the only divergence is ~ulp-level CDF prefix
+    arithmetic, which can shift a sampled depth within its bin). Also
+    covers the lane-padding envelope (s_c, n_fine < 128)."""
+    from keras_nerf_tpu.kernels import pack_mlp_params, unpack_grads
+    from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
+    from keras_nerf_tpu.ops.sampling import (
+        merge_sorted, midpoints, sample_pdf_sorted, sorted_uniforms)
+
+    cfg = NeRFConfig(n_coarse=s_c, n_fine=n_fine, n_layers=3,
+                     dense_units=256, skip_layer=2, white_background=True)
+    params, _ = engine.init_params(jax.random.PRNGKey(2), cfg)
+    packed = pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz,
+                             cfg.pos_emb_dir)
+    r = 16
+    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
+    d = jax.random.normal(jax.random.PRNGKey(1), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    cp = jnp.sort(jax.random.uniform(jax.random.PRNGKey(3), (r, s_c),
+                                     minval=2.0, maxval=6.0), axis=-1)
+    # Peaky weights: exercises near-empty bins (the denom clamp).
+    wc = jax.random.uniform(jax.random.PRNGKey(4), (r, s_c)) ** 3
+    tgt = jax.random.uniform(jax.random.PRNGKey(5), (r, 3))
+    key = jax.random.PRNGKey(7)
+
+    pts = merge_sorted(cp, sample_pdf_sorted(key, midpoints(cp), wc,
+                                             n_fine))
+    ref = fused_train_chunk(packed, o, d, pts, tgt, cfg.mlp,
+                            white_background=True, with_grad=True,
+                            emit_weights=False, interpret=True)
+    u = sorted_uniforms(key, (r,), n_fine)
+    new = fused_train_chunk(packed, o, d, None, tgt, cfg.mlp,
+                            white_background=True, with_grad=True,
+                            emit_weights=False,
+                            sample_inputs=(cp, wc, u), interpret=True)
+    np.testing.assert_allclose(np.asarray(new[0]), np.asarray(ref[0]),
+                               atol=2e-3)  # image
+    np.testing.assert_allclose(np.asarray(new[1]), np.asarray(ref[1]),
+                               atol=5e-3)  # depth
+    g_ref = unpack_grads(ref[3], cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)
+    g_new = unpack_grads(new[3], cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_new)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-8)
+        assert rel < 0.02, (jax.tree_util.keystr(path), rel)
+
+
+def test_fused_sampling_engine_gate(monkeypatch):
+    """KNT_NO_FUSED_SAMPLING=1 must route the engine back through the
+    XLA sampling chain, and both engine routes must agree on the fine
+    render (the coarse pass is identical by construction)."""
+    cfg = NeRFConfig(n_coarse=8, n_fine=8, pos_emb_xyz=10, pos_emb_dir=4,
+                     n_layers=2, dense_units=256, skip_layer=4,
+                     white_background=True, use_pallas=True)
+    params_c, params_f = engine.init_params(jax.random.PRNGKey(2), cfg)
+    b, h, w = 1, 4, 8
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(3), (b, h, w, cfg.n_coarse),
+        minval=2.0, maxval=6.0), -1)
+    rays = (o, d, t)
+    key = jax.random.PRNGKey(5)
+
+    assert engine._fused_sampling_ok(cfg)
+    _, fused = engine.render_image_batch(params_c, params_f, rays, key,
+                                         cfg, ray_chunks=32)
+    monkeypatch.setenv("KNT_NO_FUSED_SAMPLING", "1")
+    assert not engine._fused_sampling_ok(cfg)
+    _, xla = engine.render_image_batch(params_c, params_f, rays, key,
+                                       cfg, ray_chunks=32)
+    np.testing.assert_allclose(np.asarray(fused["image"]),
+                               np.asarray(xla["image"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fused["depth"]),
+                               np.asarray(xla["depth"]), atol=5e-3)
+
+
 def test_saturated_pixel_gradient_matches_xla():
     """A ray whose density is exactly zero renders pre_clip == 1.0 exactly
     on white background; XLA's clip autodiff passes a 0.5 subgradient
