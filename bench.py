@@ -110,10 +110,19 @@ def bench_render(args):
     else:
         # The novel-view path the inference CLI uses: fine image + depth
         # only — the coarse pass runs sigma-only (its image is discarded).
+        packed_q = None
+        if args.quantized_render:
+            # Opt-in int8 tier: one-time calibration outside the loop
+            # (mirrors the inference CLI's lazy first-frame calibration).
+            packed_q = jax.jit(lambda pc, pf, r, k:
+                               engine.quantize_render_params(
+                                   pc, pf, r, k, config))(
+                coarse, fine, rays, jax.random.PRNGKey(3))
         render = jax.jit(
             lambda pc, pf, r, k: engine.render_image_batch(
                 pc, pf, r, k, config, ray_chunks,
-                with_weights=False, coarse_image=False)[1]["image"])
+                with_weights=False, coarse_image=False,
+                packed_q=packed_q)[1]["image"])
 
     key = jax.random.PRNGKey(2)
     for i in range(args.warmup):
@@ -153,6 +162,9 @@ def main():
     parser.add_argument("--fast_render", type=int, default=0,
                         help="render mode only: opt-in importance-only fine "
                              "pass with this many samples (0 = exact)")
+    parser.add_argument("--quantized_render", action="store_true",
+                        help="render mode only: opt-in int8 (W8A8) MLP "
+                             "tier with static calibrated scales")
     parser.add_argument("--occupancy_grid", type=int, default=0,
                         help="render mode only: opt-in G^3 occupancy-grid "
                              "empty-space skipping (0 = off)")

@@ -57,6 +57,13 @@ def main():
                              'sample merge). 0 = exact reference math. '
                              '96 is ~1.6x faster at negligible PSNR cost '
                              '(docs/QUALITY.md)')
+    parser.add_argument('--quantized_render', action='store_true',
+                        help='OPT-IN int8 render tier: W8A8 MXU matmuls '
+                             'with static scales calibrated on the first '
+                             'frame (fused TPU path only; exact sampling/'
+                             'quadrature math; PSNR delta measured in '
+                             'docs/QUALITY.md). Composes with '
+                             '--fast_render.')
     parser.add_argument('--occupancy_grid', type=int, default=0,
                         help='OPT-IN: bake a G^3 occupancy grid from the '
                              'trained model and render with empty-space '
@@ -124,6 +131,7 @@ def main():
         use_pallas=(True if args.use_pallas else
                     (False if args.no_pallas else None)),
         fast_render=args.fast_render,
+        quantized_render=args.quantized_render,
     )
 
     focal = get_focal_from_fov(args.fov, args.img_wh)

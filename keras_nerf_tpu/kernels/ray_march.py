@@ -1143,6 +1143,7 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
                         white_background: bool, r_tile: int, s: int,
                         inv_n3: float, with_grad: bool, emit_weights: bool,
                         sigma_only: bool, sample_cfg: tuple | None,
+                        quantized: bool,
                         base_ref, slope_ref, points_ref, masks_ref, *refs):
     """Per-ray-tile fused train kernel.
 
@@ -1168,12 +1169,11 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     if with_grad:
         target_ref = refs[0]
         refs = refs[1:]
-    n = config.n_layers
-    skip = set(config.skip_indices())
-    n_enc = sum(1 for i in range(n) if i > 0 and _layer_uses_enc(i, skip))
-    n_weights = (2 * n + n_enc + 7 + (1 if last_skip else 0))
-    w, _ = _unflatten_packed(config, last_skip, refs[:n_weights])
-    out_refs = refs[n_weights:]
+    if quantized:
+        from keras_nerf_tpu.kernels.quantize import unflatten_quantized
+        w, out_refs = unflatten_quantized(config, last_skip, refs)
+    else:
+        w, out_refs = _unflatten_packed(config, last_skip, refs)
     image_ref = out_refs[0]
     weights_ref = out_refs[1] if emit_weights else None
     if with_grad:
@@ -1209,14 +1209,22 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
         rep_red = rep_shift - two_pi * jnp.round(rep_shift * (1.0 / two_pi))
         enc3 = (mm[0:1, :][None] * rep
                 + (mm[1:2, :] + mm[2:3, :])[None] * _sin_poly(rep_red))
-    enc = enc3.reshape(r_tile * s, LANE).astype(jnp.bfloat16)
+    enc_f32 = enc3.reshape(r_tile * s, LANE)
+    enc = enc_f32.astype(jnp.bfloat16)
 
     sub = jax.lax.broadcasted_iota(jnp.int32, t3.shape, 1)
     delta3 = jnp.where(sub < s - 1, _shift_up(t3, 1, s) - t3, 1e-10)
 
-    rgb_pre, sigma_pre, acts = _forward_core(
-        config, last_skip, enc, w, keep_acts=with_grad,
-        sigma_only=sigma_only)
+    if quantized:
+        # int8 render tier: W8A8 MXU trunk with static calibrated
+        # scales (kernels/quantize.py) — no-grad path only.
+        from keras_nerf_tpu.kernels.quantize import forward_core_int8
+        rgb_pre, sigma_pre, acts = forward_core_int8(
+            config, last_skip, enc_f32, w, sigma_only=sigma_only)
+    else:
+        rgb_pre, sigma_pre, acts = _forward_core(
+            config, last_skip, enc, w, keep_acts=with_grad,
+            sigma_only=sigma_only)
 
     if sigma_only:
         # Density-only render pass: weights + depth, no color. The weights
@@ -1305,7 +1313,7 @@ def _pick_r_tile(num_rays: int, s: int, target_points: int) -> int:
     jax.jit,
     static_argnames=("config", "pos_emb_xyz", "pos_emb_dir",
                      "white_background", "with_grad", "emit_weights",
-                     "sigma_only", "interpret"))
+                     "sigma_only", "quantized", "interpret"))
 def fused_train_chunk(
     packed: dict,
     origin: jnp.ndarray,
@@ -1320,6 +1328,7 @@ def fused_train_chunk(
     emit_weights: bool = True,
     sigma_only: bool = False,
     sample_inputs: tuple | None = None,
+    quantized: bool = False,
     interpret: bool | None = None,
 ):
     """One model's fused encode+forward+render(+backward) over a ray chunk.
@@ -1384,7 +1393,14 @@ def fused_train_chunk(
     r_tile = _pick_r_tile(r, s, _tgt)
     grid = r // r_tile
     last_skip = (config.n_layers - 1) in set(config.skip_indices())
-    weight_args = _flatten_packed(packed)
+    if quantized:
+        # `packed` is a kernels/quantize.py quantize_packed dict
+        # (int8 weights + f32 scale vectors); no-grad path only.
+        assert not with_grad, "quantized is a render-tier mode"
+        from keras_nerf_tpu.kernels.quantize import flatten_quantized
+        weight_args = flatten_quantized(packed)
+    else:
+        weight_args = _flatten_packed(packed)
     inv_n3 = 2.0 / (r * 3)
 
     base, slope, masks = ray_encoding_coeffs(origin, direction,
@@ -1442,7 +1458,7 @@ def fused_train_chunk(
         functools.partial(
             _train_chunk_kernel, config, last_skip, white_background,
             r_tile, s, inv_n3, with_grad, emit_weights, sigma_only,
-            sample_cfg),
+            sample_cfg, quantized),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),

@@ -296,6 +296,7 @@ def render_image_batch(
     ray_chunks: int,
     with_weights: bool = True,
     coarse_image: bool = True,
+    packed_q=None,
 ) -> tuple[dict, dict]:
     """Full-image chunked inference (`predict_and_render_images`,
     `nerf.py:229-304`).
@@ -311,6 +312,9 @@ def render_image_batch(
         ``image`` comes back all-zero and its color heads are skipped
         (sigma-only fused pass; dead-code-eliminated on the XLA path).
         The fine dict and the coarse depth are unchanged.
+      packed_q: optional ``(coarse, fine)`` int8 dicts from
+        :func:`quantize_render_params` — the opt-in quantized render
+        tier (fused path only; ignored on the XLA path).
 
     Returns:
       ``(coarse, fine)`` dicts with ``image [B,H,W,3]``, ``depth [B,H,W]``
@@ -331,16 +335,23 @@ def render_image_batch(
         # Fused no-gradient path: MLP + quadrature in one kernel per model.
         from keras_nerf_tpu.kernels import pack_mlp_params
 
-        packed_c = pack_mlp_params(coarse_params, config.mlp,
-                                   config.pos_emb_xyz, config.pos_emb_dir)
-        packed_f = pack_mlp_params(fine_params, config.mlp,
-                                   config.pos_emb_xyz, config.pos_emb_dir)
+        quantized = packed_q is not None
+        if quantized:
+            packed_c, packed_f = packed_q
+        else:
+            packed_c = pack_mlp_params(coarse_params, config.mlp,
+                                       config.pos_emb_xyz,
+                                       config.pos_emb_dir)
+            packed_f = pack_mlp_params(fine_params, config.mlp,
+                                       config.pos_emb_xyz,
+                                       config.pos_emb_dir)
 
         def body(_, x):
             oc, dc, tc, k = x
             (ic, dpc, wc), (iff, dpf, wf) = _fused_chunk_pair(
                 packed_c, packed_f, oc, dc, tc, k, config,
-                with_weights=with_weights, coarse_image=coarse_image)
+                with_weights=with_weights, coarse_image=coarse_image,
+                quantized=quantized)
             return None, (RenderOutput(image=ic, depth=dpc, weights=wc),
                           RenderOutput(image=iff, depth=dpf, weights=wf))
     else:
@@ -369,6 +380,63 @@ def render_image_batch(
         return d
 
     return unchunk(out_c), unchunk(out_f)
+
+
+def quantize_render_params(
+    coarse_params: Params,
+    fine_params: Params,
+    rays,
+    key: jax.Array,
+    config: NeRFConfig,
+    n_calib_rays: int = 1024,
+):
+    """Calibrate + quantize both MLPs for the int8 render tier.
+
+    Runs once per checkpoint (outside the per-frame render loop): a
+    strided subset of ``rays`` — MUST span the image; contiguous leading
+    rays are background-only and mis-calibrate (measured -14 dB,
+    `scripts/quantize_sim_ptq.py`) — is pushed through the f32 XLA path
+    to collect per-feature activation ranges at every quantization site
+    (coarse acts on the stratified points, fine acts on the
+    importance-merged points, exactly the distributions the render
+    evaluates). Returns ``(coarse_q, fine_q)`` for
+    :func:`render_image_batch`'s ``packed_q``.
+
+    jnp-traceable (jit-able); quality contract measured in
+    `scripts/quantize_sim_ptq.py` / docs/QUALITY.md.
+    """
+    from keras_nerf_tpu.kernels import pack_mlp_params
+    from keras_nerf_tpu.kernels.quantize import (
+        collect_act_amax, quantize_packed)
+    from keras_nerf_tpu.kernels.ray_march import encode_block128
+
+    b, h, w = rays[0].shape[:3]
+    num_rays = b * h * w
+    o, d, t = _flatten_rays(rays, num_rays, config.n_coarse)
+    stride = max(1, num_rays // n_calib_rays)
+    o, d, t = (x[::stride][:n_calib_rays] for x in (o, d, t))
+
+    cfg_x = dataclasses.replace(config, use_pallas=False, fast_render=0)
+    out_c, _ = render_chunk(coarse_params, o, d, t, key, cfg_x)
+    fine_t = sample_pdf_sorted(key, midpoints(t), out_c.weights,
+                               config.n_fine)
+    pts_f = merge_sorted(t, fine_t)
+
+    def block_enc(points):
+        pos = o[:, None, :] + d[:, None, :] * points[..., None]
+        dirs = jnp.broadcast_to(d[:, None, :], pos.shape)
+        return encode_block128(pos.reshape(-1, 3), dirs.reshape(-1, 3),
+                               config.pos_emb_xyz, config.pos_emb_dir)
+
+    last_skip = (config.n_layers - 1) in set(config.mlp.skip_indices())
+    out = []
+    for params, points in ((coarse_params, t), (fine_params, pts_f)):
+        packed = pack_mlp_params(params, config.mlp, config.pos_emb_xyz,
+                                 config.pos_emb_dir)
+        amax = collect_act_amax(packed, block_enc(points), config.mlp,
+                                last_skip)
+        out.append(quantize_packed(packed, amax, config.mlp, last_skip))
+    return tuple(out)
 
 
 def mse_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
@@ -424,7 +492,8 @@ def _fused_sampling_ok(config: NeRFConfig) -> bool:
 
 def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
                       key, config: NeRFConfig, target=None,
-                      with_weights=True, coarse_image=True):
+                      with_weights=True, coarse_image=True,
+                      quantized=False):
     """Coarse pass -> hierarchical sampling -> fine pass through the fully
     fused train kernel (`kernels/ray_march.py: fused_train_chunk`).
 
@@ -437,13 +506,15 @@ def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
     from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
 
     with_grad = target is not None
+    assert not (quantized and with_grad)
     out_c = fused_train_chunk(
         packed_c, origin, direction, coarse_points, target, config.mlp,
         pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
         white_background=config.white_background, with_grad=with_grad,
         # Render-only callers that discard the coarse image (the reference
         # CLI does, `inference.py:63`) skip its color heads entirely.
-        sigma_only=(not with_grad) and (not coarse_image))
+        sigma_only=(not with_grad) and (not coarse_image),
+        quantized=quantized)
     weights_c = out_c[2]
 
     # The fine pass's weights are only needed when the caller wants them in
@@ -452,7 +523,7 @@ def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
     fine_kwargs = dict(
         pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
         white_background=config.white_background, with_grad=with_grad,
-        emit_weights=(not with_grad) and with_weights)
+        emit_weights=(not with_grad) and with_weights, quantized=quantized)
     if not with_grad and config.fast_render > 0:
         # Opt-in fast render: importance samples only (no coarse merge).
         points = sample_pdf_sorted(

@@ -82,7 +82,7 @@ class NeRF:
                 is_training: bool = True, learning_rate: float = 1e-3,
                 lr_final: float = 0.0, lr_decay_steps: int = 0,
                 seed: int = 42, mesh=None, use_pallas: bool | None = None,
-                fast_render: int = 0, **_):
+                fast_render: int = 0, quantized_render: bool = False, **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
         Mirrors `nerf.py:78-114`: clamps ``ray_chunks`` to ``num_rays``,
@@ -181,6 +181,22 @@ class NeRF:
                             loss_fn=loss_fn))
             if mesh is not None else self._eval_step)
 
+        # Opt-in int8 render tier (novel-view only; train/eval untouched).
+        # Calibrated lazily on the first predict call's rays; mesh and
+        # XLA-path renders ignore it (fused path only).
+        self.quantized_render = bool(quantized_render)
+        self._packed_q = None
+        if self.quantized_render:
+            if mesh is not None or not engine._use_fused_train(self.config,
+                                                               None):
+                logging.warning(
+                    "quantized_render requires the fused single-device "
+                    "render path; flag ignored")
+                self.quantized_render = False
+            else:
+                self._quantize_fn = jax.jit(partial(
+                    engine.quantize_render_params, config=self.config))
+
         self.metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
         self.val_metrics = {n: MeanTracker() for n in self.METRIC_NAMES}
         self._compiled = True
@@ -244,12 +260,22 @@ class NeRF:
         (coarse ``image`` returns all-zero — use when only the fine render
         is consumed, as the reference CLI does)."""
         self._require_compiled()
-        args = (self.state.coarse_params, self.state.fine_params, rays,
-                key if key is not None else self._eval_key)
+        key = key if key is not None else self._eval_key
+        args = (self.state.coarse_params, self.state.fine_params, rays, key)
         if self.mesh is not None:
             return self._render(*args)
+        extra = {}
+        if self.quantized_render:
+            if self._packed_q is None:
+                # One-time calibration on this call's rays (strided over
+                # the image — engine.quantize_render_params).
+                self._packed_q = self._quantize_fn(
+                    self.state.coarse_params, self.state.fine_params,
+                    rays, key)
+                logging.info("quantized_render: int8 scales calibrated")
+            extra["packed_q"] = self._packed_q
         return self._render(*args, with_weights=with_weights,
-                            coarse_image=coarse_image)
+                            coarse_image=coarse_image, **extra)
 
     # --------------------------------------------- occupancy-grid rendering
 

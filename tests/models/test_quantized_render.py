@@ -1,0 +1,172 @@
+"""int8 quantized render tier tests (interpret mode on CPU).
+
+The tier's quality contract is measured on a trained checkpoint
+(`scripts/quantize_sim_ptq.py`, docs/QUALITY.md); these tests guard the
+MACHINERY: scale/packing round trips, the Pallas kernel computing the
+same function as the pure-XLA int8 reference implementation
+(`kernels/quantize.py: forward_core_int8`), and the engine/NeRF plumbing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keras_nerf_tpu.kernels import pack_mlp_params
+from keras_nerf_tpu.kernels import quantize as qz
+from keras_nerf_tpu.kernels.ray_march import encode_block128, fused_train_chunk
+from keras_nerf_tpu.models import engine
+from keras_nerf_tpu.models.engine import NeRFConfig
+from keras_nerf_tpu.ops.rendering import render_rays
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = NeRFConfig(n_coarse=8, n_fine=8, n_layers=3, dense_units=256,
+                     skip_layer=2, white_background=True, use_pallas=True)
+    pc, pf = engine.init_params(jax.random.PRNGKey(2), cfg)
+    r = 32
+    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
+    d = jax.random.normal(jax.random.PRNGKey(1), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(jax.random.PRNGKey(3), (r, cfg.n_coarse),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    return cfg, pc, pf, o, d, t
+
+
+def _quantize_one(params, cfg, o, d, t):
+    packed = pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz,
+                             cfg.pos_emb_dir)
+    pos = o[:, None, :] + d[:, None, :] * t[..., None]
+    dirs = jnp.broadcast_to(d[:, None, :], pos.shape)
+    enc = encode_block128(pos.reshape(-1, 3), dirs.reshape(-1, 3),
+                          cfg.pos_emb_xyz, cfg.pos_emb_dir)
+    last_skip = (cfg.mlp.n_layers - 1) in set(cfg.mlp.skip_indices())
+    amax = qz.collect_act_amax(packed, enc, cfg.mlp, last_skip)
+    return qz.quantize_packed(packed, amax, cfg.mlp, last_skip), enc, \
+        last_skip
+
+
+def test_flatten_roundtrip(setup):
+    cfg, pc, pf, o, d, t = setup
+    q, _, last_skip = _quantize_one(pf, cfg, o, d, t)
+    flat = qz.flatten_quantized(q)
+    q2, rest = qz.unflatten_quantized(cfg.mlp, last_skip, flat)
+    assert not rest
+    for k in q:
+        a = q[k] if isinstance(q[k], list) else [q[k]]
+        b = q2[k] if isinstance(q2[k], list) else [q2[k]]
+        for x, y in zip(a, b):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert x is y
+
+
+def test_int8_reference_close_to_f32(setup):
+    """The XLA int8 reference forward must track the f32 MLP (PTQ noise
+    budget on random params) and its sigma_only path must be exact."""
+    cfg, pc, pf, o, d, t = setup
+    from keras_nerf_tpu.kernels.ray_march import _forward_core
+
+    q, enc, last_skip = _quantize_one(pf, cfg, o, d, t)
+    packed = pack_mlp_params(pf, cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)
+    rgb32, sig32, _ = _forward_core(cfg.mlp, last_skip, enc, packed)
+    rgb8, sig8, _ = qz.forward_core_int8(cfg.mlp, last_skip,
+                                         enc.astype(jnp.float32), q)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(rgb8[:, :3])),
+        np.asarray(jax.nn.sigmoid(rgb32[:, :3])), atol=0.05)
+    _, sig8b, _ = qz.forward_core_int8(cfg.mlp, last_skip,
+                                       enc.astype(jnp.float32), q,
+                                       sigma_only=True)
+    np.testing.assert_array_equal(np.asarray(sig8), np.asarray(sig8b))
+
+
+def test_kernel_matches_int8_reference(setup):
+    """The Pallas quantized kernel (interpret) must compute the same
+    function as forward_core_int8 + render_rays — the only divergence is
+    the kernel's in-kernel encoding (polynomial sin off base/slope
+    coefficients), the same budget the bf16 kernel tests carry."""
+    cfg, pc, pf, o, d, t = setup
+    q, enc, _ = _quantize_one(pf, cfg, o, d, t)
+
+    img, depth, weights = fused_train_chunk(
+        q, o, d, t, None, cfg.mlp, white_background=True,
+        with_grad=False, quantized=True, interpret=True)
+
+    last_skip = (cfg.mlp.n_layers - 1) in set(cfg.mlp.skip_indices())
+    rgb_pre, sig_pre, _ = qz.forward_core_int8(
+        cfg.mlp, last_skip, enc.astype(jnp.float32), q)
+    ref = render_rays(
+        jax.nn.sigmoid(rgb_pre[:, :3]).reshape(*t.shape, 3),
+        jax.nn.relu(sig_pre[:, 0]).reshape(*t.shape),
+        t, white_background=True)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
+                               atol=0.03)
+    np.testing.assert_allclose(np.asarray(weights), np.asarray(ref.weights),
+                               atol=0.02)
+
+
+def test_engine_quantized_render(setup):
+    """packed_q plumbing: quantized render close to (but not identical
+    to) the f32 fused render, across the fused-sampling fine pass and
+    the sigma-only coarse pass."""
+    cfg, pc, pf, o, d, t = setup
+    b, h, w = 1, 4, 8
+    rays = (o.reshape(b, h, w, 3), d.reshape(b, h, w, 3),
+            t.reshape(b, h, w, cfg.n_coarse))
+    key = jax.random.PRNGKey(5)
+    pq = engine.quantize_render_params(pc, pf, rays, key, cfg)
+    _, f32 = engine.render_image_batch(pc, pf, rays, key, cfg,
+                                       ray_chunks=32)
+    _, q8 = engine.render_image_batch(pc, pf, rays, key, cfg,
+                                      ray_chunks=32, packed_q=pq)
+    a, b_ = np.asarray(f32["image"]), np.asarray(q8["image"])
+    assert np.abs(a - b_).max() < 0.1
+    assert not np.array_equal(a, b_)
+    # sigma-only coarse + no-weights combo must leave the fine render
+    # unchanged (same guarantee as the bf16 path).
+    _, q8b = engine.render_image_batch(pc, pf, rays, key, cfg,
+                                       ray_chunks=32, packed_q=pq,
+                                       coarse_image=False,
+                                       with_weights=False)
+    np.testing.assert_array_equal(np.asarray(q8b["image"]), b_)
+
+
+def test_nerf_quantized_render_flag():
+    """NeRF.compile(quantized_render=True): lazy one-time calibration,
+    render stays close to the unquantized model."""
+    from keras_nerf_tpu.models import NeRF
+
+    def build(quantized):
+        m = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=10, pos_emb_dir=4,
+                 n_layers=2, dense_units=256, skip_layer=1)
+        m.compile(batch_size=1, image_height=8, image_width=8,
+                  ray_chunks=64, is_training=False, use_pallas=True,
+                  quantized_render=quantized)
+        return m
+
+    key = jax.random.PRNGKey(0)
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (1, 8, 8, 1))
+    d = jax.random.normal(key, (1, 8, 8, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 8, 8, 8), minval=2.0, maxval=6.0), -1)
+    rays = (o, d, t)
+
+    m = build(True)
+    assert m.quantized_render and m._packed_q is None
+    _, fine_q = m.predict_and_render_images(rays, key)
+    assert m._packed_q is not None          # calibrated once
+    _, fine_q2 = m.predict_and_render_images(rays, key)
+    np.testing.assert_array_equal(np.asarray(fine_q["image"]),
+                                  np.asarray(fine_q2["image"]))
+
+    m0 = build(False)
+    m0.state = m.state                      # same weights
+    _, fine_f = m0.predict_and_render_images(rays, key)
+    # RANDOM (untrained) params maximize PTQ noise; the tier's real
+    # quality contract is measured on a trained checkpoint
+    # (scripts/quantize_sim_ptq.py, docs/QUALITY.md).
+    assert np.abs(np.asarray(fine_f["image"])
+                  - np.asarray(fine_q["image"])).max() < 0.25
