@@ -88,7 +88,6 @@ def quantize_packed(packed: dict, act_amax: dict, config: MLPConfig,
                     last_skip: bool) -> dict:
     """Quantize a :func:`pack_mlp_params` dict into the int8 render
     layout. jnp-traceable; biases pass through unchanged (f32)."""
-    u_units = config.dense_units
     n = config.n_layers
 
     trunk_w, trunk_u = [], []

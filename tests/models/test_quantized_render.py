@@ -133,6 +133,31 @@ def test_engine_quantized_render(setup):
     np.testing.assert_array_equal(np.asarray(q8b["image"]), b_)
 
 
+def test_quantized_composes_with_fast_render(setup):
+    """--quantized_render + --fast_render: the int8 MLP runs under the
+    importance-only fine pass too (orthogonal tiers)."""
+    import dataclasses
+    cfg, pc, pf, o, d, t = setup
+    cfg_fast = dataclasses.replace(cfg, fast_render=4)
+    b, h, w = 1, 4, 8
+    rays = (o.reshape(b, h, w, 3), d.reshape(b, h, w, 3),
+            t.reshape(b, h, w, cfg.n_coarse))
+    key = jax.random.PRNGKey(5)
+    pq = engine.quantize_render_params(pc, pf, rays, key, cfg_fast)
+    _, f32 = engine.render_image_batch(pc, pf, rays, key, cfg_fast,
+                                       ray_chunks=32)
+    _, q8 = engine.render_image_batch(pc, pf, rays, key, cfg_fast,
+                                      ray_chunks=32, packed_q=pq)
+    a, b_ = np.asarray(f32["image"]), np.asarray(q8["image"])
+    # With only 4 importance samples, a quantized-coarse density shift
+    # can move a sample across a (random-params) density spike — large
+    # single-pixel diffs are sampling sensitivity, not broken math;
+    # the mean must stay tight.
+    assert np.abs(a - b_).mean() < 0.02
+    assert np.abs(a - b_).max() < 0.5
+    assert not np.array_equal(a, b_)
+
+
 def test_nerf_quantized_render_flag():
     """NeRF.compile(quantized_render=True): lazy one-time calibration,
     render stays close to the unquantized model."""
