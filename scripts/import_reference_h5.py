@@ -20,6 +20,13 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+# Host-side format conversion: no accelerator needed. Force CPU so the
+# conversion works offline (and never blocks on the remote-TPU tunnel);
+# the env's sitecustomize ignores JAX_PLATFORMS, so set jax.config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from keras_nerf_tpu.utils.import_h5 import import_reference_model
 
 

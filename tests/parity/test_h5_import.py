@@ -156,6 +156,57 @@ def test_maybe_import_reference_auto_converts(tf_model, tmp_path):
     assert not checkpoint.maybe_import_reference(str(ref_dir))
 
 
+def test_export_roundtrip_via_import(tmp_path):
+    """export_reference_model -> import_reference_model must be the
+    identity on the weights (pure h5py leg, no TF)."""
+    from keras_nerf_tpu.models import engine
+    from keras_nerf_tpu.utils.export_h5 import export_reference_model
+
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(11), CFG, opt)
+    coarse, fine = state.coarse_params, state.fine_params
+    src = tmp_path / "src"
+    src.mkdir()
+    checkpoint.save_model(str(src), state, CFG)
+    ref_dir = tmp_path / "ref_artifact"
+    export_reference_model(str(src), str(ref_dir))
+    assert find_h5_pair(str(ref_dir)) is not None
+    assert is_legacy_h5(str(ref_dir / "coarse.h5"))
+
+    back = tmp_path / "back"
+    import_reference_model(str(ref_dir), str(back))
+    c2, f2 = checkpoint.load_weights(str(back), coarse, fine)
+    for a, b in zip(jax.tree.leaves((coarse, fine)),
+                    jax.tree.leaves((c2, f2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exported_h5_loads_into_tf_reference(tf_model, tmp_path):
+    """The REAL interop contract: an exported coarse.h5 must load into
+    the reference's NeRFMLP via Keras ``load_weights`` and produce
+    identical outputs."""
+    from keras_nerf_tpu.models import engine
+    from keras_nerf_tpu.utils.export_h5 import export_reference_model
+
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(13), CFG, opt)
+    fine = state.fine_params
+    src = tmp_path / "src"
+    src.mkdir()
+    checkpoint.save_model(str(src), state, CFG)
+    ref_dir = tmp_path / "artifact"
+    export_reference_model(str(src), str(ref_dir))
+
+    model = TFNeRFMLP(n_layers=CFG.n_layers, dense_units=CFG.dense_units,
+                      skip_layer=CFG.skip_layer)
+    model([tf.zeros((1, 2, CFG.in_xyz)), tf.zeros((1, 2, CFG.in_dir))])
+    model.load_weights(str(ref_dir / "fine.h5"))
+
+    rgb, sigma, rgb_ref, sigma_ref = _apply_both(fine, model)
+    np.testing.assert_allclose(rgb, rgb_ref, atol=2e-6)
+    np.testing.assert_allclose(sigma, sigma_ref, atol=2e-6)
+
+
 def test_import_rejects_wrong_architecture(tf_model, tmp_path):
     path = str(tmp_path / "coarse.h5")
     _write_legacy_h5(path, tf_model)
