@@ -178,6 +178,11 @@ def main():
     parser.add_argument("--iters", type=int, default=30)
     args = parser.parse_args()
     args.warmup = max(1, args.warmup)
+    if getattr(args, "quantized_render", False) and (
+            args.xla or args.fp32 or args.occupancy_grid):
+        parser.error("--quantized_render requires the fused TPU render "
+                     "path (incompatible with --xla/--fp32/"
+                     "--occupancy_grid)")
 
     result = bench_train(args) if args.mode == "train" else bench_render(args)
     print(json.dumps(result))

@@ -413,7 +413,10 @@ def quantize_render_params(
     b, h, w = rays[0].shape[:3]
     num_rays = b * h * w
     o, d, t = _flatten_rays(rays, num_rays, config.n_coarse)
-    stride = max(1, num_rays // n_calib_rays)
+    # CEIL stride: floor would degenerate to the forbidden contiguous
+    # leading rays whenever num_rays < 2 * n_calib_rays, and drop the
+    # image bottom otherwise.
+    stride = max(1, -(-num_rays // n_calib_rays))
     o, d, t = (x[::stride][:n_calib_rays] for x in (o, d, t))
 
     cfg_x = dataclasses.replace(config, use_pallas=False, fast_render=0)

@@ -186,6 +186,7 @@ class NeRF:
         # XLA-path renders ignore it (fused path only).
         self.quantized_render = bool(quantized_render)
         self._packed_q = None
+        self._packed_q_state = None
         if self.quantized_render:
             if mesh is not None or not engine._use_fused_train(self.config,
                                                                None):
@@ -266,13 +267,17 @@ class NeRF:
             return self._render(*args)
         extra = {}
         if self.quantized_render:
-            if self._packed_q is None:
-                # One-time calibration on this call's rays (strided over
-                # the image — engine.quantize_render_params).
+            if self._packed_q is None or self._packed_q_state is not self.state:
+                # Calibrate on this call's rays (strided over the image —
+                # engine.quantize_render_params). Keyed to the state
+                # OBJECT: any weight change (a train step, a checkpoint
+                # load) replaces self.state and invalidates the baked
+                # int8 weights+scales.
                 self._packed_q = self._quantize_fn(
                     self.state.coarse_params, self.state.fine_params,
                     rays, key)
-                logging.info("quantized_render: int8 scales calibrated")
+                self._packed_q_state = self.state
+                logging.info("quantized_render: int8 weights calibrated")
             extra["packed_q"] = self._packed_q
         return self._render(*args, with_weights=with_weights,
                             coarse_image=coarse_image, **extra)

@@ -207,7 +207,7 @@ def main():
     # rays are the top image rows, i.e. pure background: scales
     # calibrated there never see on-object activations and clip them
     # (measured: -14 dB from exactly this).
-    stride = max(1, o0.shape[0] // nc)
+    stride = max(1, -(-o0.shape[0] // nc))
     o0, d0, t0 = o0[::stride][:nc], d0[::stride][:nc], t0[::stride][:nc]
     ex, ed = encode_position_and_directions(
         o0, d0, t0, config.pos_emb_xyz, config.pos_emb_dir)

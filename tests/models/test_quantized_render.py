@@ -187,11 +187,22 @@ def test_nerf_quantized_render_flag():
     np.testing.assert_array_equal(np.asarray(fine_q["image"]),
                                   np.asarray(fine_q2["image"]))
 
+    # Weight change invalidates the baked int8 cache: a new state object
+    # must trigger recalibration (guards the stale-weights hazard).
+    old_pq = m._packed_q
+    m.state = engine.init_train_state(
+        jax.random.PRNGKey(99), m.config,
+        engine.make_optimizer("sgd", 1e-2))
+    _, fine_new = m.predict_and_render_images(rays, key)
+    assert m._packed_q is not old_pq
+    assert not np.array_equal(np.asarray(fine_new["image"]),
+                              np.asarray(fine_q["image"]))
+
     m0 = build(False)
-    m0.state = m.state                      # same weights
+    m0.state = m.state                      # same (post-swap) weights
     _, fine_f = m0.predict_and_render_images(rays, key)
     # RANDOM (untrained) params maximize PTQ noise; the tier's real
     # quality contract is measured on a trained checkpoint
     # (scripts/quantize_sim_ptq.py, docs/QUALITY.md).
     assert np.abs(np.asarray(fine_f["image"])
-                  - np.asarray(fine_q["image"])).max() < 0.25
+                  - np.asarray(fine_new["image"])).max() < 0.25
