@@ -51,6 +51,14 @@ def main():
                         help='render this many orbit frames per device call '
                              '(throughput knob; 1 = frame-at-a-time like the '
                              'reference)')
+    parser.add_argument('--num_gpus', type=int, default=1,
+                        help='render over this many devices (0 = all): each '
+                             'frame is split into horizontal image bands '
+                             'over a mesh (documented extension — the '
+                             'reference inference is single-device). '
+                             'img_wh must divide by the device count. '
+                             'Incompatible with --quantized_render and '
+                             '--occupancy_grid (single-device tiers)')
     parser.add_argument('--fast_render', type=int, default=0,
                         help='OPT-IN approximation: the fine pass evaluates '
                              'this many importance samples only (no coarse-'
@@ -117,6 +125,20 @@ def main():
             f'Model weights not found in {args.model_dirs} '
             f'(need {ckpt.COARSE_WEIGHTS} and {ckpt.FINE_WEIGHTS})')
 
+    mesh = None
+    if args.num_gpus != 1:
+        from keras_nerf_tpu.parallel import make_mesh
+        n = args.num_gpus if args.num_gpus > 0 else len(jax.devices())
+        if n > 1:
+            if args.occupancy_grid > 0:
+                raise SystemExit('--occupancy_grid renders single-device; '
+                                 'drop --num_gpus')
+            if args.img_wh % n:
+                raise SystemExit(f'--img_wh {args.img_wh} must divide by '
+                                 f'the {n} mesh devices (height bands)')
+            mesh = make_mesh(n)
+            logging.info('Rendering over a %d-device mesh (height bands)', n)
+
     nerf = NeRF(
         model_path=args.model_dirs,
         compute_dtype='bfloat16' if args.mixed_precision else 'float32')
@@ -128,6 +150,7 @@ def main():
         ray_chunks=args.ray_chunks,
         white_background=args.white_bg,
         is_training=False,
+        mesh=mesh,
         use_pallas=(True if args.use_pallas else
                     (False if args.no_pallas else None)),
         fast_render=args.fast_render,

@@ -147,6 +147,10 @@ class RayBatchDataset:
     so the total rays per epoch equal one pass over every pixel.
     """
 
+    # Batches are scrambled pixels, not images: windowed metrics (SSIM)
+    # over them are not meaningful — NeRF.fit warns once (loss/PSNR exact).
+    PIXELWISE_METRICS_ONLY = True
+
     def __init__(self, images: np.ndarray, poses: np.ndarray, *,
                  focal: float, near: float, far: float, n_samples: int,
                  batch_size: int, seed: int = 42, sharding=None):

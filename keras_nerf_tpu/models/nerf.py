@@ -163,10 +163,15 @@ class NeRF:
             train_fn, eval_fn, render_fn = shard_batch_fns(
                 mesh, train_fn, eval_fn, render_fn)
             self._render = jax.jit(render_fn)
+            # Tiered mesh renders (with_weights/coarse_image change the
+            # shard_map out specs, so each combination is its own wrapped
+            # fn) — built lazily, keyed by the flag pair; jit is lazy so
+            # unused tiers cost nothing.
+            self._mesh_render_cache = {(True, True): self._render}
         else:
             # with_weights=False is the fast novel-view path (image+depth
             # only); coarse_image=False additionally skips the coarse color
-            # heads; the mesh render keeps the full dict (fixed out specs).
+            # heads.
             self._render = jax.jit(
                 render_fn, static_argnames=("with_weights", "coarse_image"))
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
@@ -256,7 +261,9 @@ class NeRF:
                                   ) -> tuple[dict, dict]:
         """Render full images: ``(coarse, fine)`` dicts of image/depth(/
         weights) (`nerf.py:229-304`). ``with_weights=False`` is the fast
-        image+depth-only path for novel-view rendering (single-device);
+        image+depth-only path for novel-view rendering (the output dicts
+        then carry no ``weights`` entry — on a mesh too, where each flag
+        pair is its own lazily-built band-sharded render);
         ``coarse_image=False`` additionally skips the coarse color heads
         (coarse ``image`` returns all-zero — use when only the fine render
         is consumed, as the reference CLI does)."""
@@ -264,7 +271,15 @@ class NeRF:
         key = key if key is not None else self._eval_key
         args = (self.state.coarse_params, self.state.fine_params, rays, key)
         if self.mesh is not None:
-            return self._render(*args)
+            tier = (bool(with_weights), bool(coarse_image))
+            render = self._mesh_render_cache.get(tier)
+            if render is None:
+                from keras_nerf_tpu.parallel import sharded_render
+                render = jax.jit(sharded_render(
+                    self.mesh, self.config, self.ray_chunks,
+                    with_weights=tier[0], coarse_image=tier[1]))
+                self._mesh_render_cache[tier] = render
+            return render(*args)
         extra = {}
         if self.quantized_render:
             if self._packed_q is None or self._packed_q_state is not self.state:
@@ -369,6 +384,15 @@ class NeRF:
         for cb in callbacks:
             if hasattr(cb, "set_model"):
                 cb.set_model(self)
+
+        # Pixel-sampling batches are scrambled (image, pixel) draws: the
+        # windowed train SSIM columns are over non-images and not
+        # meaningful (loss/PSNR are exact; val metrics use whole images).
+        if getattr(train_dataset, "PIXELWISE_METRICS_ONLY", False):
+            logging.warning(
+                "pixel-sampling mode: train coarse_ssim/fine_ssim are "
+                "computed over scrambled pixel batches — ignore them "
+                "(val_*_ssim remain whole-image and meaningful)")
 
         # Deferred metric fetching: each step's metrics are tiny device
         # scalars; fetching them per step would block the host on the device

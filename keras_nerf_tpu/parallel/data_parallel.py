@@ -76,13 +76,14 @@ def _batch_spec(mesh: Mesh):
     return (P(axes), (P(axes), P(axes), P(axes)))
 
 
-def _band_specs(mesh: Mesh):
+def _band_specs(mesh: Mesh, with_weights: bool = True):
     """Render specs: rays/outputs sharded by image height over all axes."""
     axes = _batch_axes(mesh)
     ray_spec = (P(None, axes), P(None, axes), P(None, axes))
-    out_spec = ({"image": P(None, axes), "depth": P(None, axes),
-                 "weights": P(None, axes)},) * 2
-    return ray_spec, out_spec
+    out = {"image": P(None, axes), "depth": P(None, axes)}
+    if with_weights:
+        out["weights"] = P(None, axes)
+    return ray_spec, (out, dict(out))
 
 
 def batch_sharding(mesh: Mesh) -> jax.sharding.NamedSharding:
@@ -122,15 +123,25 @@ def sharded_eval_step(mesh: Mesh, config: NeRFConfig, ray_chunks: int):
     )
 
 
-def sharded_render(mesh: Mesh, config: NeRFConfig, ray_chunks: int):
-    """shard_map-wrapped full-image render, sharded by image height bands."""
+def sharded_render(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
+                   with_weights: bool = True, coarse_image: bool = True):
+    """shard_map-wrapped full-image render, sharded by image height bands.
+
+    ``with_weights=False`` / ``coarse_image=False`` are the same novel-view
+    fast-path knobs as :func:`engine.render_image_batch` (skip the fine
+    weights output / the coarse color heads) — static here because they
+    change the out specs. This is the multi-chip form of the render tiers
+    behind the ≥20 fps @256² v5e-8 target (docs/QUALITY.md): each device
+    renders a horizontal image band, no collectives on the hot path.
+    """
     axes = _batch_axes(mesh)
-    ray_spec, out_spec = _band_specs(mesh)
+    ray_spec, out_spec = _band_specs(mesh, with_weights)
 
     def render(coarse_params, fine_params, rays, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axes))
         return engine.render_image_batch(
-            coarse_params, fine_params, rays, key, config, ray_chunks)
+            coarse_params, fine_params, rays, key, config, ray_chunks,
+            with_weights=with_weights, coarse_image=coarse_image)
 
     return jax.shard_map(
         render, mesh=mesh,

@@ -170,6 +170,23 @@ def test_inference_cli_end_to_end(tmp_path, scene):
     assert len(frames) == 3  # 360 / 120
     assert np.asarray(frames[0]).shape[:2] == (16, 16)
 
+    # Same orbit over an 8-device mesh (--num_gpus): height-band-sharded
+    # frames, same GIF contract.
+    argv = ["inference.py", "--model_dirs",
+            str(tmp_path / "models" / "inf"),
+            "--name", "orbit8", "--img_wh", "16", "--ray_chunks", "32",
+            "--output_freq", "120", "--num_gpus", "8",
+            "--output_dir", out_dir]
+    try:
+        sys.argv = argv
+        inference_cli.main()
+    finally:
+        sys.argv = old
+    frames8 = imageio.mimread(os.path.join(out_dir, "orbit8.gif"))
+    assert len(frames8) == 3
+    assert np.asarray(frames8[0]).shape[:2] == (16, 16)
+    assert np.asarray(frames8[0]).std() > 0
+
 
 def test_monitor_verbose_debug_renders(tmp_path, scene):
     """Verbose mode renders EVERY batch image as a 2x5 panel (images + the

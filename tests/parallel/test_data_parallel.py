@@ -135,6 +135,60 @@ def test_sharded_render_band_split(cfg):
                                atol=1e-5)
 
 
+def test_sharded_render_fast_tiers(cfg):
+    """The novel-view fast knobs (no weights output, sigma-only coarse)
+    under a mesh: out specs shrink, fine image matches the full-tier
+    sharded render (same per-band RNG folding; tolerance is XLA fusion
+    rounding only — dropping the weights output changes the compiled
+    fusion, measured ~1e-7)."""
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    _, rays = make_batch(1, 16, 8, cfg.n_coarse)
+    key = jax.random.PRNGKey(3)
+
+    full = jax.jit(sharded_render(mesh, cfg, ray_chunks=16))
+    fast = jax.jit(sharded_render(mesh, cfg, ray_chunks=16,
+                                  with_weights=False, coarse_image=False))
+    ref_c, ref_f = full(state.coarse_params, state.fine_params, rays, key)
+    out_c, out_f = fast(state.coarse_params, state.fine_params, rays, key)
+
+    assert "weights" in ref_f and "weights" not in out_f
+    assert "weights" not in out_c
+    np.testing.assert_allclose(np.asarray(out_f["image"]),
+                               np.asarray(ref_f["image"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["depth"]),
+                               np.asarray(ref_f["depth"]), atol=1e-4)
+    # coarse_image=False: coarse color heads skipped, image contract = zeros
+    assert np.all(np.asarray(out_c["image"]) == 0.0)
+    np.testing.assert_allclose(np.asarray(out_c["depth"]),
+                               np.asarray(ref_c["depth"]), atol=1e-4)
+
+
+def test_nerf_class_mesh_render_tiers(cfg):
+    """NeRF.predict_and_render_images(with_weights=False, coarse_image=
+    False) under a mesh routes through a lazily-built banded render."""
+    from keras_nerf_tpu.models import NeRF
+
+    mesh = make_mesh(8)
+    nerf = NeRF(n_coarse=cfg.n_coarse, n_fine=cfg.n_fine,
+                pos_emb_xyz=cfg.pos_emb_xyz, pos_emb_dir=cfg.pos_emb_dir,
+                n_layers=cfg.n_layers, dense_units=cfg.dense_units,
+                skip_layer=cfg.skip_layer)
+    nerf.compile(batch_size=1, image_height=16, image_width=8,
+                 ray_chunks=16, is_training=False, mesh=mesh)
+    _, rays = make_batch(1, 16, 8, cfg.n_coarse)
+
+    full_c, full_f = nerf.predict_and_render_images(rays)
+    fast_c, fast_f = nerf.predict_and_render_images(
+        rays, with_weights=False, coarse_image=False)
+    assert "weights" in full_f and "weights" not in fast_f
+    np.testing.assert_allclose(np.asarray(fast_f["image"]),
+                               np.asarray(full_f["image"]), atol=1e-5)
+    assert np.all(np.asarray(fast_c["image"]) == 0.0)
+    assert set(nerf._mesh_render_cache) == {(True, True), (False, False)}
+
+
 def test_two_d_mesh_multi_slice(cfg):
     """2-D (replica, data) mesh — the multi-slice DP layout — matches the
     1-D mesh and single-device math on the coarse path."""
