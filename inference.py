@@ -57,8 +57,9 @@ def main():
                              'over a mesh (documented extension — the '
                              'reference inference is single-device). '
                              'img_wh must divide by the device count. '
-                             'Incompatible with --quantized_render and '
-                             '--occupancy_grid (single-device tiers)')
+                             'Composes with --fast_render and '
+                             '--quantized_render; incompatible with '
+                             '--occupancy_grid (single-device tier)')
     parser.add_argument('--fast_render', type=int, default=0,
                         help='OPT-IN approximation: the fine pass evaluates '
                              'this many importance samples only (no coarse-'

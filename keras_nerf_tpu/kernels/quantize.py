@@ -116,15 +116,29 @@ def quantize_packed(packed: dict, act_amax: dict, config: MLPConfig,
             trunk_enc_w.append(None)
             trunk_enc_u.append(None)
 
-    # sigma/features fused head: consumes h_{n-1}.
+    # sigma/features fused head: consumes h_{n-1}. Quantized as ONE fold
+    # (one input requant for h_{n-1}), then split into separate
+    # features/sigma tensors — int32 accumulation is exact, so two dots
+    # over the split columns equal the fused dot bit-for-bit, and the
+    # kernel never lane-slices a [1, N] scale vector (real Mosaic rejects
+    # broadcasting lane-offset slices: "Invalid input layout"; interpret
+    # mode masked it).
+    u_units = config.dense_units
     w_sf_q, u_sf, r_last = _quantize_matmul(packed["w_sf"],
                                             act_amax[f"h{n - 1}"])
     trunk_r[n - 1] = r_last
+    w_feat_q, w_sig_q = w_sf_q[:, :u_units], w_sf_q[:, u_units:]
+    u_feat, u_sig = u_sf[:, :u_units], u_sf[:, u_units:]
+    b_feat, b_sig = packed["b_sf"][:, :u_units], packed["b_sf"][:, u_units:]
     if last_skip and packed["w_sf_enc"] is not None:
         w_sf_enc_q, u_sf_enc, enc_r_sf = _quantize_matmul(
             packed["w_sf_enc"], act_amax["enc"])
+        w_feat_enc_q = w_sf_enc_q[:, :u_units]
+        w_sig_enc_q = w_sf_enc_q[:, u_units:]
+        u_feat_enc, u_sig_enc = u_sf_enc[:, :u_units], u_sf_enc[:, u_units:]
     else:
-        w_sf_enc_q = u_sf_enc = enc_r_sf = None
+        w_feat_enc_q = w_sig_enc_q = None
+        u_feat_enc = u_sig_enc = enc_r_sf = None
 
     # rgb_features: split (features-top, enc-dir) matmuls.
     w_rf_top_q, u_rf_top, r_feat = _quantize_matmul(
@@ -145,8 +159,11 @@ def quantize_packed(packed: dict, act_amax: dict, config: MLPConfig,
         "trunk_r": trunk_r,
         "trunk_enc_w": trunk_enc_w, "trunk_enc_u": trunk_enc_u,
         "enc_r": enc_r,                      # per-layer enc requant or None
-        "w_sf": w_sf_q, "u_sf": u_sf, "b_sf": packed["b_sf"],
-        "w_sf_enc": w_sf_enc_q, "u_sf_enc": u_sf_enc, "enc_r_sf": enc_r_sf,
+        "w_feat": w_feat_q, "u_feat": u_feat, "b_feat": b_feat,
+        "w_sig": w_sig_q, "u_sig": u_sig, "b_sig": b_sig,
+        "w_feat_enc": w_feat_enc_q, "u_feat_enc": u_feat_enc,
+        "w_sig_enc": w_sig_enc_q, "u_sig_enc": u_sig_enc,
+        "enc_r_sf": enc_r_sf,
         "r_feat": r_feat,
         "w_rf_top": w_rf_top_q, "u_rf_top": u_rf_top,
         "w_rf_enc": w_rf_enc_q, "u_rf_enc": u_rf_enc, "enc_r_rf": enc_r_rf,
@@ -162,9 +179,11 @@ def flatten_quantized(q: dict) -> list:
     out += [w for w in q["trunk_enc_w"] if w is not None]
     out += [u for u in q["trunk_enc_u"] if u is not None]
     out += [r for r in q["enc_r"] if r is not None]
-    out += [q["w_sf"], q["u_sf"], q["b_sf"]]
-    if q["w_sf_enc"] is not None:
-        out += [q["w_sf_enc"], q["u_sf_enc"], q["enc_r_sf"]]
+    out += [q["w_feat"], q["u_feat"], q["b_feat"],
+            q["w_sig"], q["u_sig"], q["b_sig"]]
+    if q["w_feat_enc"] is not None:
+        out += [q["w_feat_enc"], q["u_feat_enc"],
+                q["w_sig_enc"], q["u_sig_enc"], q["enc_r_sf"]]
     out += [q["r_feat"], q["w_rf_top"], q["u_rf_top"],
             q["w_rf_enc"], q["u_rf_enc"], q["enc_r_rf"],
             q["b_rf"], q["r_rf"], q["w_rgb"], q["u_rgb"], q["b_rgb"]]
@@ -188,11 +207,13 @@ def unflatten_quantized(config: MLPConfig, last_skip: bool, args):
     trunk_enc_u = [next(it) if (uses[i] and i > 0) else None
                    for i in range(n)]
     enc_r = [next(it) if uses[i] else None for i in range(n)]
-    w_sf, u_sf, b_sf = next(it), next(it), next(it)
+    (w_feat, u_feat, b_feat, w_sig, u_sig, b_sig) = (
+        next(it) for _ in range(6))
     if last_skip:
-        w_sf_enc, u_sf_enc, enc_r_sf = next(it), next(it), next(it)
+        (w_feat_enc, u_feat_enc, w_sig_enc, u_sig_enc, enc_r_sf) = (
+            next(it) for _ in range(5))
     else:
-        w_sf_enc = u_sf_enc = enc_r_sf = None
+        w_feat_enc = u_feat_enc = w_sig_enc = u_sig_enc = enc_r_sf = None
     (r_feat, w_rf_top, u_rf_top, w_rf_enc, u_rf_enc, enc_r_rf,
      b_rf, r_rf, w_rgb, u_rgb, b_rgb) = (next(it) for _ in range(11))
     rest = list(it)
@@ -201,8 +222,11 @@ def unflatten_quantized(config: MLPConfig, last_skip: bool, args):
         "trunk_r": trunk_r,
         "trunk_enc_w": trunk_enc_w, "trunk_enc_u": trunk_enc_u,
         "enc_r": enc_r,
-        "w_sf": w_sf, "u_sf": u_sf, "b_sf": b_sf,
-        "w_sf_enc": w_sf_enc, "u_sf_enc": u_sf_enc, "enc_r_sf": enc_r_sf,
+        "w_feat": w_feat, "u_feat": u_feat, "b_feat": b_feat,
+        "w_sig": w_sig, "u_sig": u_sig, "b_sig": b_sig,
+        "w_feat_enc": w_feat_enc, "u_feat_enc": u_feat_enc,
+        "w_sig_enc": w_sig_enc, "u_sig_enc": u_sig_enc,
+        "enc_r_sf": enc_r_sf,
         "r_feat": r_feat,
         "w_rf_top": w_rf_top, "u_rf_top": u_rf_top,
         "w_rf_enc": w_rf_enc, "u_rf_enc": u_rf_enc, "enc_r_rf": enc_r_rf,
@@ -230,7 +254,6 @@ def forward_core_int8(config: MLPConfig, last_skip: bool, enc, q,
     Pure jnp — runs identically inside the Pallas kernel and as the
     XLA reference for tests.
     """
-    u_units = config.dense_units
     n = config.n_layers
 
     hq = None
@@ -246,25 +269,30 @@ def forward_core_int8(config: MLPConfig, last_skip: bool, enc, q,
         h = jnp.maximum(acc + q["trunk_b"][i][...], 0.0)
         hq = _quant_act(h, q["trunk_r"][i][...])
 
+    # sigma and features heads are packed as SEPARATE tensors (split from
+    # the one fused fold at pack time, bit-identical) so no ref here is
+    # ever lane-sliced — real Mosaic rejects broadcasting lane-offset
+    # [1, N] slices ("Invalid input layout").
+    last_enc = (last_skip and q["w_sig_enc"] is not None)
+    eq_last = _quant_act(enc, q["enc_r_sf"][...]) if last_enc else None
+
+    sigma_pre = _doti8(hq, q["w_sig"][...]).astype(jnp.float32) \
+        * q["u_sig"][...]
+    if last_enc:
+        sigma_pre = sigma_pre + _doti8(
+            eq_last, q["w_sig_enc"][...]).astype(jnp.float32) \
+            * q["u_sig_enc"][...]
+    sigma_pre = sigma_pre + q["b_sig"][...]
     if sigma_only:
-        sigma_pre = _doti8(hq, q["w_sf"][...][:, u_units:]).astype(
-            jnp.float32) * q["u_sf"][...][:, u_units:]
-        if last_skip and q["w_sf_enc"] is not None:
-            eq = _quant_act(enc, q["enc_r_sf"][...])
-            sigma_pre = sigma_pre + _doti8(
-                eq, q["w_sf_enc"][...][:, u_units:]).astype(jnp.float32) \
-                * q["u_sf_enc"][...][:, u_units:]
-        sigma_pre = sigma_pre + q["b_sf"][...][:, u_units:]
         return None, sigma_pre, None
 
-    sf = _doti8(hq, q["w_sf"][...]).astype(jnp.float32) * q["u_sf"][...]
-    if last_skip and q["w_sf_enc"] is not None:
-        eq = _quant_act(enc, q["enc_r_sf"][...])
-        sf = sf + _doti8(eq, q["w_sf_enc"][...]).astype(jnp.float32) \
-            * q["u_sf_enc"][...]
-    sf = sf + q["b_sf"][...]
-    features = sf[:, :u_units]
-    sigma_pre = sf[:, u_units:u_units + LANE]
+    features = _doti8(hq, q["w_feat"][...]).astype(jnp.float32) \
+        * q["u_feat"][...]
+    if last_enc:
+        features = features + _doti8(
+            eq_last, q["w_feat_enc"][...]).astype(jnp.float32) \
+            * q["u_feat_enc"][...]
+    features = features + q["b_feat"][...]
 
     fq = _quant_act(features, q["r_feat"][...])
     eq = _quant_act(enc, q["enc_r_rf"][...])

@@ -164,10 +164,11 @@ class NeRF:
                 mesh, train_fn, eval_fn, render_fn)
             self._render = jax.jit(render_fn)
             # Tiered mesh renders (with_weights/coarse_image change the
-            # shard_map out specs, so each combination is its own wrapped
-            # fn) — built lazily, keyed by the flag pair; jit is lazy so
-            # unused tiers cost nothing.
-            self._mesh_render_cache = {(True, True): self._render}
+            # shard_map out specs; quantized adds the packed_q operand, so
+            # each combination is its own wrapped fn) — built lazily,
+            # keyed by the flag triple; jit is lazy so unused tiers cost
+            # nothing.
+            self._mesh_render_cache = {(True, True, False): self._render}
         else:
             # with_weights=False is the fast novel-view path (image+depth
             # only); coarse_image=False additionally skips the coarse color
@@ -187,17 +188,19 @@ class NeRF:
             if mesh is not None else self._eval_step)
 
         # Opt-in int8 render tier (novel-view only; train/eval untouched).
-        # Calibrated lazily on the first predict call's rays; mesh and
-        # XLA-path renders ignore it (fused path only).
+        # Calibrated lazily on the first predict call's rays (once, on one
+        # device — calibration is per-checkpoint, not per-frame); under a
+        # mesh the baked int8 weights are replicated and each device runs
+        # the W8A8 kernels on its band. XLA-path renders ignore it (fused
+        # path only).
         self.quantized_render = bool(quantized_render)
         self._packed_q = None
         self._packed_q_state = None
         if self.quantized_render:
-            if mesh is not None or not engine._use_fused_train(self.config,
-                                                               None):
+            if not engine._use_fused_train(self.config, None):
                 logging.warning(
-                    "quantized_render requires the fused single-device "
-                    "render path; flag ignored")
+                    "quantized_render requires the fused render path; "
+                    "flag ignored")
                 self.quantized_render = False
             else:
                 self._quantize_fn = jax.jit(partial(
@@ -270,32 +273,47 @@ class NeRF:
         self._require_compiled()
         key = key if key is not None else self._eval_key
         args = (self.state.coarse_params, self.state.fine_params, rays, key)
+        if self.quantized_render:
+            self._ensure_packed_q(rays, key)
         if self.mesh is not None:
-            tier = (bool(with_weights), bool(coarse_image))
+            tier = (bool(with_weights), bool(coarse_image),
+                    self.quantized_render)
             render = self._mesh_render_cache.get(tier)
             if render is None:
                 from keras_nerf_tpu.parallel import sharded_render
                 render = jax.jit(sharded_render(
                     self.mesh, self.config, self.ray_chunks,
-                    with_weights=tier[0], coarse_image=tier[1]))
+                    with_weights=tier[0], coarse_image=tier[1],
+                    quantized=tier[2]))
                 self._mesh_render_cache[tier] = render
+            if self.quantized_render:
+                return render(*args, self._packed_q)
             return render(*args)
         extra = {}
         if self.quantized_render:
-            if self._packed_q is None or self._packed_q_state is not self.state:
-                # Calibrate on this call's rays (strided over the image —
-                # engine.quantize_render_params). Keyed to the state
-                # OBJECT: any weight change (a train step, a checkpoint
-                # load) replaces self.state and invalidates the baked
-                # int8 weights+scales.
-                self._packed_q = self._quantize_fn(
-                    self.state.coarse_params, self.state.fine_params,
-                    rays, key)
-                self._packed_q_state = self.state
-                logging.info("quantized_render: int8 weights calibrated")
             extra["packed_q"] = self._packed_q
         return self._render(*args, with_weights=with_weights,
                             coarse_image=coarse_image, **extra)
+
+    def _ensure_packed_q(self, rays, key):
+        """Calibrate + bake the int8 render weights once per checkpoint.
+
+        Calibrates on this call's rays (strided over the image —
+        engine.quantize_render_params). Keyed to the state OBJECT: any
+        weight change (a train step, a checkpoint load) replaces
+        self.state and invalidates the baked int8 weights+scales. Under a
+        mesh the baked pytree is replicated across devices (the hot-path
+        band renders read it without collectives)."""
+        if self._packed_q is not None and self._packed_q_state is self.state:
+            return
+        packed_q = self._quantize_fn(
+            self.state.coarse_params, self.state.fine_params, rays, key)
+        if self.mesh is not None:
+            from keras_nerf_tpu.parallel import replicate
+            packed_q = replicate(packed_q, self.mesh)
+        self._packed_q = packed_q
+        self._packed_q_state = self.state
+        logging.info("quantized_render: int8 weights calibrated")
 
     # --------------------------------------------- occupancy-grid rendering
 

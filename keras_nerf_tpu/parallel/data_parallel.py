@@ -124,7 +124,8 @@ def sharded_eval_step(mesh: Mesh, config: NeRFConfig, ray_chunks: int):
 
 
 def sharded_render(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
-                   with_weights: bool = True, coarse_image: bool = True):
+                   with_weights: bool = True, coarse_image: bool = True,
+                   quantized: bool = False):
     """shard_map-wrapped full-image render, sharded by image height bands.
 
     ``with_weights=False`` / ``coarse_image=False`` are the same novel-view
@@ -133,19 +134,27 @@ def sharded_render(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
     change the out specs. This is the multi-chip form of the render tiers
     behind the ≥20 fps @256² v5e-8 target (docs/QUALITY.md): each device
     renders a horizontal image band, no collectives on the hot path.
+
+    ``quantized=True`` returns a render taking a FIFTH argument: the
+    ``(coarse, fine)`` int8 ``packed_q`` pytree from
+    :func:`engine.quantize_render_params`, replicated across the mesh
+    (the int8 render tier; calibrate once per checkpoint, then every
+    device runs the W8A8 kernels on its band).
     """
     axes = _batch_axes(mesh)
     ray_spec, out_spec = _band_specs(mesh, with_weights)
 
-    def render(coarse_params, fine_params, rays, key):
+    def render(coarse_params, fine_params, rays, key, *packed_q):
         key = jax.random.fold_in(key, jax.lax.axis_index(axes))
         return engine.render_image_batch(
             coarse_params, fine_params, rays, key, config, ray_chunks,
-            with_weights=with_weights, coarse_image=coarse_image)
+            with_weights=with_weights, coarse_image=coarse_image,
+            packed_q=packed_q[0] if quantized else None)
 
+    in_specs = (P(), P(), ray_spec, P()) + ((P(),) if quantized else ())
     return jax.shard_map(
         render, mesh=mesh,
-        in_specs=(P(), P(), ray_spec, P()),
+        in_specs=in_specs,
         out_specs=out_spec,
         check_vma=False,
     )

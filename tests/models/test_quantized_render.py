@@ -206,3 +206,53 @@ def test_nerf_quantized_render_flag():
     # (scripts/quantize_sim_ptq.py, docs/QUALITY.md).
     assert np.abs(np.asarray(fine_f["image"])
                   - np.asarray(fine_new["image"])).max() < 0.25
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (fake) devices")
+def test_nerf_quantized_render_under_mesh():
+    """quantized_render over a mesh: calibrate once, replicate the baked
+    int8 weights, render height bands — matches the single-device
+    quantized render (same per-band RNG as the f32 mesh path)."""
+    from keras_nerf_tpu.models import NeRF
+    from keras_nerf_tpu.parallel import make_mesh
+
+    def build(mesh):
+        m = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=10, pos_emb_dir=4,
+                 n_layers=2, dense_units=256, skip_layer=1)
+        m.compile(batch_size=1, image_height=16, image_width=8,
+                  ray_chunks=16, is_training=False, use_pallas=True,
+                  quantized_render=True, mesh=mesh, seed=3)
+        return m
+
+    key = jax.random.PRNGKey(0)
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (1, 16, 8, 1))
+    d = jax.random.normal(key, (1, 16, 8, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 16, 8, 8), minval=2.0, maxval=6.0), -1)
+    rays = (o, d, t)
+
+    m8 = build(make_mesh(8))
+    assert m8.quantized_render          # mesh no longer disables the tier
+    _, fine8 = m8.predict_and_render_images(rays, key, with_weights=False,
+                                            coarse_image=False)
+    assert "weights" not in fine8
+    assert (True, True, False) in m8._mesh_render_cache  # seed entry
+    assert (False, False, True) in m8._mesh_render_cache
+
+    # Single-device reference for the same bands: calibrate on the SAME
+    # full-image rays (band rays would change the int8 scales), then fold
+    # the key per band exactly as the sharded render does and compare
+    # band-for-band.
+    m1 = build(None)
+    m1._ensure_packed_q(rays, key)
+    band_imgs = []
+    for band in range(8):
+        br = jax.tree.map(lambda x: x[:, 2 * band:2 * (band + 1)], rays)
+        _, f = m1.predict_and_render_images(
+            br, jax.random.fold_in(key, band), with_weights=False,
+            coarse_image=False)
+        band_imgs.append(np.asarray(f["image"]))
+    ref = np.concatenate(band_imgs, axis=1)
+    np.testing.assert_allclose(np.asarray(fine8["image"]), ref,
+                               atol=1e-5)

@@ -186,7 +186,8 @@ def test_nerf_class_mesh_render_tiers(cfg):
     np.testing.assert_allclose(np.asarray(fast_f["image"]),
                                np.asarray(full_f["image"]), atol=1e-5)
     assert np.all(np.asarray(fast_c["image"]) == 0.0)
-    assert set(nerf._mesh_render_cache) == {(True, True), (False, False)}
+    assert set(nerf._mesh_render_cache) == {(True, True, False),
+                                            (False, False, False)}
 
 
 def test_two_d_mesh_multi_slice(cfg):
