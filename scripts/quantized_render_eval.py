@@ -71,7 +71,11 @@ def main():
     def bench_fps(config, packed_q):
         _, rays = random_ray_batch(1, args.bench_wh, args.bench_wh,
                                    config.n_coarse, jax.random.PRNGKey(1))
-        ck = min(args.ray_chunks, args.bench_wh * args.bench_wh)
+        # Canonical bench basis (bench.py): 8192-ray chunks. The 16384
+        # f32 render graph has frozen a slow XLA compile plan in the
+        # persistent cache on this box (plans vary run-to-run; see the
+        # verify skill) — measured 3.0-6.8 fps for the same HLO.
+        ck = min(8192, args.bench_wh * args.bench_wh)
         render = jax.jit(lambda a, b, r, k: engine.render_image_batch(
             a, b, r, k, config, ck, with_weights=False,
             coarse_image=False, packed_q=packed_q)[1]["image"])
