@@ -54,6 +54,12 @@ def make_mesh(n_devices: int | None = None, devices=None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # Silent truncation would let callers validate (divisibility,
+            # logging) against a device count the mesh doesn't have.
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available")
         devices = devices[:n_devices]
     devices = np.asarray(devices)
     if n_slices == 1:

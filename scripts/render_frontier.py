@@ -31,10 +31,12 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
@@ -50,16 +52,26 @@ from keras_nerf_tpu.utils import checkpoint
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="model/quality128")
-    ap.add_argument("--data", default="data/synthetic_128")
+    ap.add_argument("--model",
+                    default=os.path.join(_REPO, "model", "quality128"))
+    ap.add_argument("--data",
+                    default=os.path.join(_REPO, "data", "synthetic_128"))
     ap.add_argument("--img_wh", type=int, default=128)
     ap.add_argument("--ray_chunks", type=int, default=16384)
     ap.add_argument("--bench_wh", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--occ_grid", type=int, default=128)
-    ap.add_argument("--out_json", default="assets/render_frontier.json")
-    ap.add_argument("--out_png", default="assets/render_frontier.png")
+    # Anchored to the repo: background shells start OUTSIDE it (CLAUDE.md),
+    # and a cwd-relative default would crash only AFTER the full sweep.
+    ap.add_argument("--out_json",
+                    default=os.path.join(_REPO, "assets",
+                                         "render_frontier.json"))
+    ap.add_argument("--out_png",
+                    default=os.path.join(_REPO, "assets",
+                                         "render_frontier.png"))
     args = ap.parse_args()
+    for p in (args.out_json, args.out_png):
+        os.makedirs(os.path.dirname(os.path.abspath(p)), exist_ok=True)
 
     base = checkpoint.load_model_config(args.model, white_background=True)
     pc, pf = engine.init_params(jax.random.PRNGKey(0), base)

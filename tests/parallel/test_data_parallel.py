@@ -212,6 +212,28 @@ def test_two_d_mesh_multi_slice(cfg):
         make_mesh(8, n_slices=3)
 
 
+def test_make_mesh_rejects_more_devices_than_available():
+    """Requesting a larger mesh than the host has must raise, not silently
+    truncate (callers validate divisibility against the requested count)."""
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(len(jax.devices()) + 1)
+
+
+def test_banded_render_on_non_power_of_two_mesh(cfg):
+    """sharded_render on a 6-device mesh: ray_chunks is per-device (the
+    dryrun's regression — 64 per-device rays, chunks must divide 64)."""
+    from keras_nerf_tpu.parallel import sharded_render
+
+    mesh = make_mesh(6)
+    coarse, fine = engine.init_params(jax.random.PRNGKey(0), cfg)
+    render = jax.jit(sharded_render(mesh, cfg, ray_chunks=64,
+                                    with_weights=False, coarse_image=False))
+    _, rays = make_batch(1, 6 * 8, 8, cfg.n_coarse, seed=2)
+    _, out_f = render(coarse, fine, rays, jax.random.PRNGKey(2))
+    assert out_f["image"].shape == (1, 48, 8, 3)
+    assert np.isfinite(np.asarray(out_f["image"])).all()
+
+
 def test_nerf_class_with_mesh(cfg):
     """NeRF.compile(mesh=...) end-to-end on the fake mesh."""
     from keras_nerf_tpu.models import NeRF
