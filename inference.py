@@ -57,9 +57,8 @@ def main():
                              'over a mesh (documented extension — the '
                              'reference inference is single-device). '
                              'img_wh must divide by the device count. '
-                             'Composes with --fast_render and '
-                             '--quantized_render; incompatible with '
-                             '--occupancy_grid (single-device tier)')
+                             'Composes with --fast_render, '
+                             '--quantized_render and --occupancy_grid')
     parser.add_argument('--fast_render', type=int, default=0,
                         help='OPT-IN approximation: the fine pass evaluates '
                              'this many importance samples only (no coarse-'
@@ -78,7 +77,8 @@ def main():
                              'trained model and render with empty-space '
                              'skipping (fine model only, --occupancy_samples '
                              'MLP evals/ray). 0 = off. 64 is the measured '
-                             'sweet spot (docs/QUALITY.md)')
+                             'sweet spot (docs/QUALITY.md). Composes with '
+                             '--num_gpus (height-band mesh render)')
     parser.add_argument('--occupancy_samples', type=int, default=64)
     parser.add_argument('--occupancy_aabb', type=float, nargs=6,
                         default=None, metavar=('X0', 'Y0', 'Z0',
@@ -131,9 +131,6 @@ def main():
         from keras_nerf_tpu.parallel import make_mesh
         n = args.num_gpus if args.num_gpus > 0 else len(jax.devices())
         if n > 1:
-            if args.occupancy_grid > 0:
-                raise SystemExit('--occupancy_grid renders single-device; '
-                                 'drop --num_gpus')
             if args.img_wh % n:
                 raise SystemExit(f'--img_wh {args.img_wh} must divide by '
                                  f'the {n} mesh devices (height bands)')

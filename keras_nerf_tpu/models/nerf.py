@@ -333,6 +333,12 @@ class NeRF:
         self.occ_grid = occ_mod.bake_occupancy_grid(
             density, grid_size, aabb, sigma_threshold, dilate)
         self._occ_aabb = aabb
+        self._mesh_occ_cache = {}
+        if self.mesh is not None:
+            # Replicate once at bake time so the per-frame band renders
+            # read the grid without collectives or re-layout.
+            from keras_nerf_tpu.parallel import replicate
+            self.occ_grid = replicate(self.occ_grid, self.mesh)
         logging.info("Baked %d^3 occupancy grid: %.1f%% occupied",
                      grid_size, 100.0 * float(jnp.mean(self.occ_grid)))
         return self.occ_grid
@@ -343,15 +349,28 @@ class NeRF:
         """Occupancy-accelerated novel-view render (fine model only,
         ``n_samples`` MLP evaluations per ray inside occupied space).
         Returns a fine-style dict ``{'image', 'depth'}``. Requires
-        :meth:`bake_occupancy` first."""
+        :meth:`bake_occupancy` first. Under a mesh the render is
+        height-band sharded like :meth:`predict_and_render_images`
+        (grid replicated, per-band key folds, no hot-path collectives)."""
         self._require_compiled()
         if getattr(self, "occ_grid", None) is None:
             raise RuntimeError("call bake_occupancy() before "
                                "render_occupancy()")
+        key = key if key is not None else self._eval_key
+        if self.mesh is not None:
+            tier = (float(near), float(far), int(n_samples), int(n_probe))
+            render = self._mesh_occ_cache.get(tier)
+            if render is None:
+                from keras_nerf_tpu.parallel import sharded_render_occ
+                render = jax.jit(sharded_render_occ(
+                    self.mesh, self.config, self.ray_chunks,
+                    near=near, far=far, n_samples=n_samples,
+                    n_probe=n_probe, aabb=self._occ_aabb))
+                self._mesh_occ_cache[tier] = render
+            return render(self.state.fine_params, rays, self.occ_grid, key)
         from keras_nerf_tpu.ops import occupancy as occ_mod
         return occ_mod.render_image_batch_occ(
-            self.state.fine_params, rays, self.occ_grid,
-            key if key is not None else self._eval_key, self.config,
+            self.state.fine_params, rays, self.occ_grid, key, self.config,
             near=near, far=far, n_samples=n_samples, n_probe=n_probe,
             ray_chunks=self.ray_chunks, aabb=self._occ_aabb)
 

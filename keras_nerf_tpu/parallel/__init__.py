@@ -10,6 +10,7 @@ from keras_nerf_tpu.parallel.data_parallel import (
     shard_batch_fns,
     sharded_eval_step,
     sharded_render,
+    sharded_render_occ,
     sharded_train_step,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "shard_batch_fns",
     "sharded_eval_step",
     "sharded_render",
+    "sharded_render_occ",
     "sharded_train_step",
 ]

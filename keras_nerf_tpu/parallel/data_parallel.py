@@ -166,6 +166,43 @@ def sharded_render(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
     )
 
 
+def sharded_render_occ(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
+                       near: float = 2.0, far: float = 6.0,
+                       n_samples: int = 64, n_probe: int = 64,
+                       aabb=None):
+    """shard_map-wrapped occupancy-accelerated render (fine model only,
+    empty-space skipping — `ops/occupancy.py`), sharded by image height
+    bands exactly like :func:`sharded_render`.
+
+    The baked occupancy grid rides in replicated (it is a few MB of
+    binary floats); the hot path has no collectives — each device probes
+    the grid and runs ``n_samples`` fine-MLP evaluations per ray on its
+    band. ``ray_chunks`` is per-device, as everywhere under a mesh.
+
+    Returns ``render(fine_params, rays, occ_grid, key) -> {'image',
+    'depth'}`` (fine-style dict; occupancy replaces the coarse pass).
+    """
+    from keras_nerf_tpu.ops import occupancy as occ_mod
+    if aabb is None:
+        aabb = occ_mod.DEFAULT_AABB
+    # The inner render jits with aabb as a static arg — must be hashable.
+    aabb = tuple(tuple(float(v) for v in row) for row in aabb)
+    axes = _batch_axes(mesh)
+    ray_spec = (P(None, axes), P(None, axes), P(None, axes))
+    out_spec = {"image": P(None, axes), "depth": P(None, axes)}
+
+    def render(fine_params, rays, occ_grid, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axes))
+        return occ_mod.render_image_batch_occ(
+            fine_params, rays, occ_grid, key, config, near=near, far=far,
+            n_samples=n_samples, n_probe=n_probe, ray_chunks=ray_chunks,
+            aabb=aabb)
+
+    return jax.shard_map(render, mesh=mesh,
+                         in_specs=(P(), ray_spec, P(), P()),
+                         out_specs=out_spec, check_vma=False)
+
+
 def shard_batch_fns(mesh: Mesh, train_fn, eval_fn, render_fn):
     """Build (train, eval, render) sharded equivalents of the partial-applied
     single-device engine functions (used by ``NeRF.compile(mesh=...)``).

@@ -187,6 +187,24 @@ def test_inference_cli_end_to_end(tmp_path, scene):
     assert np.asarray(frames8[0]).shape[:2] == (16, 16)
     assert np.asarray(frames8[0]).std() > 0
 
+    # Occupancy tier composed with the mesh render (--occupancy_grid
+    # + --num_gpus): banded fine-only render off the baked grid.
+    argv = ["inference.py", "--model_dirs",
+            str(tmp_path / "models" / "inf"),
+            "--name", "orbit8occ", "--img_wh", "16", "--ray_chunks", "32",
+            "--output_freq", "120", "--num_gpus", "8",
+            "--occupancy_grid", "8", "--occupancy_samples", "8",
+            "--sigma_threshold", "0.0",
+            "--output_dir", out_dir]
+    try:
+        sys.argv = argv
+        inference_cli.main()
+    finally:
+        sys.argv = old
+    frames_occ = imageio.mimread(os.path.join(out_dir, "orbit8occ.gif"))
+    assert len(frames_occ) == 3
+    assert np.asarray(frames_occ[0]).shape[:2] == (16, 16)
+
 
 def test_monitor_verbose_debug_renders(tmp_path, scene):
     """Verbose mode renders EVERY batch image as a 2x5 panel (images + the

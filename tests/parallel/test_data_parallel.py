@@ -212,6 +212,55 @@ def test_two_d_mesh_multi_slice(cfg):
         make_mesh(8, n_slices=3)
 
 
+def test_sharded_occupancy_render_matches_banded_single_device(cfg):
+    """Band-sharded occupancy render == single-device renders of each band
+    with the same per-band key folds (grid replicated, rays height-split)."""
+    from keras_nerf_tpu.ops import occupancy as occ_mod
+    from keras_nerf_tpu.parallel import sharded_render_occ
+
+    mesh = make_mesh(8)
+    _, fine = engine.init_params(jax.random.PRNGKey(0), cfg)
+    g = np.zeros((16, 16, 16), np.float32)
+    g[4:12, 4:12, 4:12] = 1.0                     # occupied central block
+    grid = jnp.asarray(g)
+
+    _, rays = make_batch(1, 16, 8, cfg.n_coarse, seed=7)
+    key = jax.random.PRNGKey(9)
+    render = jax.jit(sharded_render_occ(mesh, cfg, ray_chunks=16))
+    out = render(fine, rays, grid, key)
+    assert out["image"].shape == (1, 16, 8, 3)
+    assert out["depth"].shape == (1, 16, 8)
+
+    bands = []
+    for band in range(8):
+        br = jax.tree.map(lambda x: x[:, 2 * band:2 * (band + 1)], rays)
+        ref = occ_mod.render_image_batch_occ(
+            fine, br, grid, jax.random.fold_in(key, band), cfg,
+            ray_chunks=16)
+        bands.append(np.asarray(ref["image"]))
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.concatenate(bands, axis=1), atol=1e-5)
+
+
+def test_nerf_render_occupancy_under_mesh(cfg):
+    """NeRF.bake_occupancy + render_occupancy on a mesh-compiled model
+    (the inference.py --occupancy_grid --num_gpus composition)."""
+    from keras_nerf_tpu.models import NeRF
+
+    mesh = make_mesh(8)
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=1, image_height=16, image_width=8,
+                  ray_chunks=16, is_training=False, mesh=mesh)
+    model.bake_occupancy(8, sigma_threshold=0.0)
+    _, rays = make_batch(1, 16, 8, model.config.n_coarse, seed=3)
+    out = model.render_occupancy(rays, key=jax.random.PRNGKey(4),
+                                 n_samples=8, n_probe=8)
+    assert out["image"].shape == (1, 16, 8, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
+    assert (2.0, 6.0, 8, 8) in model._mesh_occ_cache
+
+
 def test_make_mesh_rejects_more_devices_than_available():
     """Requesting a larger mesh than the host has must raise, not silently
     truncate (callers validate divisibility against the requested count)."""
