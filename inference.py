@@ -158,9 +158,6 @@ def main():
     focal = get_focal_from_fov(args.fov, args.img_wh)
     thetas = list(range(0, 360, args.output_freq))
 
-    if args.quantized_render and args.occupancy_grid > 0:
-        logging.warning('--quantized_render is ignored on the '
-                        '--occupancy_grid render path')
     if args.occupancy_grid > 0:
         aabb = None
         if args.occupancy_aabb is not None:

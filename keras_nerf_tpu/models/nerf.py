@@ -351,28 +351,41 @@ class NeRF:
         Returns a fine-style dict ``{'image', 'depth'}``. Requires
         :meth:`bake_occupancy` first. Under a mesh the render is
         height-band sharded like :meth:`predict_and_render_images`
-        (grid replicated, per-band key folds, no hot-path collectives)."""
+        (grid replicated, per-band key folds, no hot-path collectives).
+        When compiled with ``quantized_render=True`` the fine MLP runs
+        the int8 W8A8 kernels over the occupancy-placed samples (the two
+        tiers compose; sampling/quadrature math untouched)."""
         self._require_compiled()
         if getattr(self, "occ_grid", None) is None:
             raise RuntimeError("call bake_occupancy() before "
                                "render_occupancy()")
         key = key if key is not None else self._eval_key
+        quantized = self.quantized_render
+        if quantized:
+            # Calibrates on this call's rays (strided full-image coverage,
+            # exactly as the standard quantized render path).
+            self._ensure_packed_q(rays, key)
+            fine_q = self._packed_q[1]
         if self.mesh is not None:
-            tier = (float(near), float(far), int(n_samples), int(n_probe))
+            tier = (float(near), float(far), int(n_samples), int(n_probe),
+                    quantized)
             render = self._mesh_occ_cache.get(tier)
             if render is None:
                 from keras_nerf_tpu.parallel import sharded_render_occ
                 render = jax.jit(sharded_render_occ(
                     self.mesh, self.config, self.ray_chunks,
                     near=near, far=far, n_samples=n_samples,
-                    n_probe=n_probe, aabb=self._occ_aabb))
+                    n_probe=n_probe, aabb=self._occ_aabb,
+                    quantized=quantized))
                 self._mesh_occ_cache[tier] = render
-            return render(self.state.fine_params, rays, self.occ_grid, key)
+            args = (self.state.fine_params, rays, self.occ_grid, key)
+            return render(*args, fine_q) if quantized else render(*args)
         from keras_nerf_tpu.ops import occupancy as occ_mod
         return occ_mod.render_image_batch_occ(
             self.state.fine_params, rays, self.occ_grid, key, self.config,
             near=near, far=far, n_samples=n_samples, n_probe=n_probe,
-            ray_chunks=self.ray_chunks, aabb=self._occ_aabb)
+            ray_chunks=self.ray_chunks, aabb=self._occ_aabb,
+            packed_q=fine_q if quantized else None)
 
     def _prepare_eval_dataset(self, dataset):
         """Splits smaller than the (global) batch size yield zero batches

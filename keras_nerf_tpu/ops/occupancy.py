@@ -197,9 +197,15 @@ def sample_occupied(
     return sample_pdf_sorted(key, midpoints(bin_mids), occ, n_samples)
 
 
-def _render_points_chunk(params, origin, direction, points, key, config):
+def _render_points_chunk(params, origin, direction, points, key, config,
+                         packed_q=None):
     """Forward + quadrature over explicit per-ray depths (fused kernel on
-    TPU, XLA elsewhere) -> ``RenderOutput`` (weights omitted)."""
+    TPU, XLA elsewhere) -> ``RenderOutput`` (weights omitted).
+
+    ``packed_q`` is an optional quantized FINE weights dict
+    (`kernels/quantize.py: quantize_packed`) — the int8 render tier over
+    explicit points (fused path only; ignored on the XLA path, matching
+    `engine.render_image_batch`)."""
     from keras_nerf_tpu.models import engine as _engine
     from keras_nerf_tpu.ops.rendering import RenderOutput
 
@@ -207,13 +213,16 @@ def _render_points_chunk(params, origin, direction, points, key, config):
         from keras_nerf_tpu.kernels import pack_mlp_params
         from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
 
-        packed = pack_mlp_params(params, config.mlp, config.pos_emb_xyz,
-                                 config.pos_emb_dir)
+        if packed_q is not None:
+            packed = packed_q
+        else:
+            packed = pack_mlp_params(params, config.mlp, config.pos_emb_xyz,
+                                     config.pos_emb_dir)
         image, depth, _ = fused_train_chunk(
             packed, origin, direction, points, None, config.mlp,
             pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
             white_background=config.white_background, with_grad=False,
-            emit_weights=False)[:3]
+            emit_weights=False, quantized=packed_q is not None)[:3]
         return RenderOutput(image=image, depth=depth, weights=None)
     out, _ = _engine.render_chunk(params, origin, direction, points, key,
                                   config)
@@ -236,6 +245,7 @@ def render_image_batch_occ(
     n_probe: int = 64,
     ray_chunks: int = 8192,
     aabb=DEFAULT_AABB,
+    packed_q=None,
 ) -> dict:
     """Full-image occupancy-accelerated render: ``{'image' [B, H, W, 3],
     'depth' [B, H, W]}`` using only the FINE model at ``n_samples``
@@ -243,7 +253,9 @@ def render_image_batch_occ(
 
     ``rays`` is the standard ``(origin, direction, points)`` triple; the
     stratified ``points`` are ignored (occupancy replaces both the coarse
-    march and the importance sampling).
+    march and the importance sampling). ``packed_q`` is the optional int8
+    FINE weights dict (the `--quantized_render` tier composed with the
+    occupancy grid; fused path only).
     """
     origin, direction = rays[0], rays[1]
     b, h, w = origin.shape[:3]
@@ -261,7 +273,8 @@ def render_image_batch_occ(
         mids, occ = occupancy_along_rays(oc, dc, occ_grid, near, far,
                                          n_probe, aabb)
         pts = sample_occupied(k, mids, occ, n_samples)
-        out = _render_points_chunk(fine_params, oc, dc, pts, k, config)
+        out = _render_points_chunk(fine_params, oc, dc, pts, k, config,
+                                   packed_q=packed_q)
         return None, (out.image, out.depth)
 
     _, (image, depth) = jax.lax.scan(body, None, (o, d, keys))

@@ -169,7 +169,7 @@ def sharded_render(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
 def sharded_render_occ(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
                        near: float = 2.0, far: float = 6.0,
                        n_samples: int = 64, n_probe: int = 64,
-                       aabb=None):
+                       aabb=None, quantized: bool = False):
     """shard_map-wrapped occupancy-accelerated render (fine model only,
     empty-space skipping — `ops/occupancy.py`), sharded by image height
     bands exactly like :func:`sharded_render`.
@@ -181,6 +181,9 @@ def sharded_render_occ(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
 
     Returns ``render(fine_params, rays, occ_grid, key) -> {'image',
     'depth'}`` (fine-style dict; occupancy replaces the coarse pass).
+    ``quantized=True`` adds a FIFTH argument: the fine model's int8
+    weights dict (`engine.quantize_render_params()[1]`), replicated —
+    the `--quantized_render` tier composed with the occupancy grid.
     """
     from keras_nerf_tpu.ops import occupancy as occ_mod
     if aabb is None:
@@ -191,15 +194,16 @@ def sharded_render_occ(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
     ray_spec = (P(None, axes), P(None, axes), P(None, axes))
     out_spec = {"image": P(None, axes), "depth": P(None, axes)}
 
-    def render(fine_params, rays, occ_grid, key):
+    def render(fine_params, rays, occ_grid, key, *packed_q):
         key = jax.random.fold_in(key, jax.lax.axis_index(axes))
         return occ_mod.render_image_batch_occ(
             fine_params, rays, occ_grid, key, config, near=near, far=far,
             n_samples=n_samples, n_probe=n_probe, ray_chunks=ray_chunks,
-            aabb=aabb)
+            aabb=aabb, packed_q=packed_q[0] if quantized else None)
 
+    in_specs = (P(), ray_spec, P(), P()) + ((P(),) if quantized else ())
     return jax.shard_map(render, mesh=mesh,
-                         in_specs=(P(), ray_spec, P(), P()),
+                         in_specs=in_specs,
                          out_specs=out_spec, check_vma=False)
 
 

@@ -158,6 +158,57 @@ def test_quantized_composes_with_fast_render(setup):
     assert not np.array_equal(a, b_)
 
 
+def test_quantized_composes_with_occupancy(setup):
+    """--quantized_render + --occupancy_grid: the int8 fine MLP runs over
+    the occupancy-placed samples. Identical points and quadrature math
+    (same key, same grid), so the f32/int8 gap is pure PTQ noise."""
+    cfg, pc, pf, o, d, t = setup
+    from keras_nerf_tpu.ops import occupancy as occ
+
+    q, _, _ = _quantize_one(pf, cfg, o, d, t)
+    g = np.zeros((8, 8, 8), np.float32)
+    g[2:6, 2:6, 2:6] = 1.0
+    grid = jnp.asarray(g)
+    rays = (o.reshape(1, 4, 8, 3), d.reshape(1, 4, 8, 3),
+            t.reshape(1, 4, 8, cfg.n_coarse))
+    key = jax.random.PRNGKey(5)
+    f32 = occ.render_image_batch_occ(pf, rays, grid, key, cfg,
+                                     n_samples=8, ray_chunks=32)
+    i8 = occ.render_image_batch_occ(pf, rays, grid, key, cfg,
+                                    n_samples=8, ray_chunks=32, packed_q=q)
+    np.testing.assert_allclose(np.asarray(i8["image"]),
+                               np.asarray(f32["image"]), atol=0.06)
+    np.testing.assert_allclose(np.asarray(i8["depth"]),
+                               np.asarray(f32["depth"]), atol=0.25)
+    assert not np.array_equal(np.asarray(i8["image"]),
+                              np.asarray(f32["image"]))
+
+
+def test_nerf_quantized_occupancy_under_mesh():
+    """NeRF with quantized_render + bake_occupancy on a mesh: the banded
+    int8 occupancy render (the CLI's --quantized_render --occupancy_grid
+    --num_gpus composition) runs and caches per-tier."""
+    from keras_nerf_tpu.models import NeRF
+    from keras_nerf_tpu.parallel import make_mesh
+
+    m = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=10, pos_emb_dir=4,
+             n_layers=2, dense_units=256, skip_layer=1)
+    m.compile(batch_size=1, image_height=16, image_width=8, ray_chunks=16,
+              is_training=False, use_pallas=True, quantized_render=True,
+              mesh=make_mesh(8), seed=3)
+    m.bake_occupancy(8, sigma_threshold=0.0)
+    key = jax.random.PRNGKey(0)
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (1, 16, 8, 1))
+    d = jax.random.normal(key, (1, 16, 8, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 16, 8, 8), minval=2.0, maxval=6.0), -1)
+    out = m.render_occupancy((o, d, t), key=key, n_samples=8, n_probe=8)
+    assert out["image"].shape == (1, 16, 8, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
+    assert (2.0, 6.0, 8, 8, True) in m._mesh_occ_cache
+
+
 def test_nerf_quantized_render_flag():
     """NeRF.compile(quantized_render=True): lazy one-time calibration,
     render stays close to the unquantized model."""
