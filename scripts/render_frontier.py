@@ -125,21 +125,21 @@ def main():
     occ_frac = 100.0 * float(jnp.mean(occ_grid))
     print(f"occupancy grid {args.occ_grid}^3: {occ_frac:.1f}% occupied")
 
-    def occ_psnr(k_samples):
+    def occ_psnr(k_samples, fine_q=None):
         render = jax.jit(lambda r, k: occ_mod.render_image_batch_occ(
             pf, r, occ_grid, k, base, n_samples=k_samples,
-            ray_chunks=args.ray_chunks)["image"])
+            ray_chunks=args.ray_chunks, packed_q=fine_q)["image"])
         vals = []
         for images, rays in iter(test):
             img = render(rays, key)
             vals.append(float(psnr(img, images[..., :3])[0]))
         return float(np.mean(vals))
 
-    def occ_fps(k_samples):
+    def occ_fps(k_samples, fine_q=None):
         ck = min(8192, args.bench_wh * args.bench_wh)
         render = jax.jit(lambda r, k: occ_mod.render_image_batch_occ(
             pf, r, occ_grid, k, base, n_samples=k_samples,
-            ray_chunks=ck)["image"])
+            ray_chunks=ck, packed_q=fine_q)["image"])
         return bench_fps(render)
 
     # one calibration shared by all int8 tiers (exact coarse+merged fine
@@ -169,6 +169,10 @@ def main():
          lambda: occ_psnr(64), lambda: occ_fps(64)),
         ("occupancy K=32", "occupancy",
          lambda: occ_psnr(32), lambda: occ_fps(32)),
+        ("int8 occ K=64", "int8+occ",
+         lambda: occ_psnr(64, pq[1]), lambda: occ_fps(64, pq[1])),
+        ("int8 occ K=32", "int8+occ",
+         lambda: occ_psnr(32, pq[1]), lambda: occ_fps(32, pq[1])),
     ]
 
     rows = []
@@ -207,7 +211,7 @@ def plot_frontier(rows, out_png, bench_wh):
     # okabe-ito green third. Identity also carried by marker shape +
     # direct labels — never color alone.
     families = [("f32", "#1f77b4", "o"), ("int8", "#ff7f0e", "s"),
-                ("occupancy", "#009e73", "D")]
+                ("occupancy", "#009e73", "D"), ("int8+occ", "#cc79a7", "^")]
 
     fig, ax = plt.subplots(figsize=(8, 4.5), dpi=150)
     for fam, color, marker in families:
