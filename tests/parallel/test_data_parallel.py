@@ -258,7 +258,7 @@ def test_nerf_render_occupancy_under_mesh(cfg):
                                  n_samples=8, n_probe=8)
     assert out["image"].shape == (1, 16, 8, 3)
     assert np.isfinite(np.asarray(out["image"])).all()
-    assert (2.0, 6.0, 8, 8) in model._mesh_occ_cache
+    assert (2.0, 6.0, 8, 8, False) in model._mesh_occ_cache
 
 
 def test_make_mesh_rejects_more_devices_than_available():
