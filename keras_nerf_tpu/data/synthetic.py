@@ -149,7 +149,11 @@ def write_synthetic_scene(
             phi = float(rng.uniform(-60.0, -10.0))
             c2w = pose_spherical(theta, phi, 4.0)
             rgba = render_pose(c2w, image_wh, supersample)
-            img = Image.fromarray((rgba * 255).astype(np.uint8), mode="RGBA")
+            # Round to the nearest 8-bit code (truncation would bias every
+            # mid-tone ~0.5 LSB dark, capping the scene's reachable PSNR).
+            img = Image.fromarray(
+                np.clip(np.round(rgba * 255), 0, 255).astype(np.uint8),
+                mode="RGBA")
             img.save(os.path.join(split_dir, f"r_{i}.png"))
             frames.append({
                 "file_path": f"./{split}/r_{i}",

@@ -114,6 +114,16 @@ class NeRF:
         # --ray_chunks is per-device (`parallel/data_parallel.py`): validate
         # against the rays each device actually sees.
         n_devices = 1 if mesh is None else int(mesh.devices.size)
+        if is_training and batch_size % n_devices != 0:
+            # The train/eval shard_map splits the image-batch (leading)
+            # axis — a num_rays-only check would accept batch_size=4 on 8
+            # devices and crash opaquely at the first step's dispatch.
+            # (Render-only compiles shard image HEIGHT instead, so batch 1
+            # is fine there.)
+            raise ValueError(
+                f"batch_size {batch_size} must divide across "
+                f"{n_devices} mesh devices (the global image batch is "
+                f"sharded along its leading axis)")
         if self.num_rays % n_devices != 0:
             raise ValueError(
                 f"global num_rays {self.num_rays} must divide across "
@@ -557,8 +567,25 @@ class NeRF:
 
     def load_model(self, path: str):
         """Restore config + weights from a checkpoint directory
-        (`nerf.py:66-76`)."""
-        self.config = checkpoint.load_model_config(path)
+        (`nerf.py:66-76`).
+
+        ``model_config.json`` carries the 7 architecture keys only;
+        runtime options the checkpoint does not record (white_background,
+        compute_dtype, use_pallas, fast_render) are preserved from the
+        current config — compiled step/render closures therefore stay
+        consistent with ``self.config`` whenever the loaded architecture
+        matches (a mismatched architecture fails the weight-tree load).
+        Weight-derived caches (occupancy grid, int8 scales) are
+        invalidated."""
+        old = self.config
+        self.config = checkpoint.load_model_config(
+            path, white_background=old.white_background,
+            compute_dtype=old.compute_dtype, use_pallas=old.use_pallas,
+            fast_render=old.fast_render)
         self.model_path = path
         if self.state is not None:
             self.state = checkpoint.load_train_state(path, self.state)
+        # The baked occupancy grid belongs to the previous weights; the
+        # int8 calibration invalidates itself via state-object identity.
+        self.occ_grid = None
+        self._mesh_occ_cache = {}

@@ -198,13 +198,16 @@ def sample_occupied(
 
 
 def _render_points_chunk(params, origin, direction, points, key, config,
-                         packed_q=None):
+                         packed_q=None, packed=None):
     """Forward + quadrature over explicit per-ray depths (fused kernel on
     TPU, XLA elsewhere) -> ``RenderOutput`` (weights omitted).
 
     ``packed_q`` is an optional quantized FINE weights dict
     (`kernels/quantize.py: quantize_packed`) — the int8 render tier over
     explicit points (fused path only; ignored on the XLA path, matching
+    `engine.render_image_batch`). ``packed`` is an optional pre-packed
+    f32/bf16 weights dict (`pack_mlp_params`) so callers with a chunk
+    loop pack once outside it (chunk-invariant, like
     `engine.render_image_batch`)."""
     from keras_nerf_tpu.models import engine as _engine
     from keras_nerf_tpu.ops.rendering import RenderOutput
@@ -215,7 +218,7 @@ def _render_points_chunk(params, origin, direction, points, key, config,
 
         if packed_q is not None:
             packed = packed_q
-        else:
+        elif packed is None:
             packed = pack_mlp_params(params, config.mlp, config.pos_emb_xyz,
                                      config.pos_emb_dir)
         image, depth, _ = fused_train_chunk(
@@ -268,13 +271,22 @@ def render_image_batch_occ(
     d = direction.reshape(nch, ray_chunks, 3)
     keys = jax.random.split(key, nch)
 
+    # Packing is chunk-invariant — hoist it out of the scan (matches
+    # engine.render_image_batch; the quantized dict arrives pre-baked).
+    packed = None
+    from keras_nerf_tpu.models import engine as _engine
+    if packed_q is None and _engine._use_fused_train(config, None):
+        from keras_nerf_tpu.kernels import pack_mlp_params
+        packed = pack_mlp_params(fine_params, config.mlp,
+                                 config.pos_emb_xyz, config.pos_emb_dir)
+
     def body(_, x):
         oc, dc, k = x
         mids, occ = occupancy_along_rays(oc, dc, occ_grid, near, far,
                                          n_probe, aabb)
         pts = sample_occupied(k, mids, occ, n_samples)
         out = _render_points_chunk(fine_params, oc, dc, pts, k, config,
-                                   packed_q=packed_q)
+                                   packed_q=packed_q, packed=packed)
         return None, (out.image, out.depth)
 
     _, (image, depth) = jax.lax.scan(body, None, (o, d, keys))

@@ -105,10 +105,11 @@ def batch_sharding(mesh: Mesh) -> jax.sharding.NamedSharding:
 
 
 def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
-                       ray_chunks: int):
+                       ray_chunks: int, loss_fn=None):
     """shard_map-wrapped train step: global batch in, replicated state out."""
     step = partial(engine.train_step, optimizer=optimizer, config=config,
-                   ray_chunks=ray_chunks, axis_name=_batch_axes(mesh))
+                   ray_chunks=ray_chunks, loss_fn=loss_fn,
+                   axis_name=_batch_axes(mesh))
     return jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), _batch_spec(mesh), P()),
@@ -117,10 +118,11 @@ def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
     )
 
 
-def sharded_eval_step(mesh: Mesh, config: NeRFConfig, ray_chunks: int):
+def sharded_eval_step(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
+                      loss_fn=None):
     """shard_map-wrapped eval step over the image-batch axis."""
     step = partial(engine.eval_step, config=config, ray_chunks=ray_chunks,
-                   axis_name=_batch_axes(mesh))
+                   loss_fn=loss_fn, axis_name=_batch_axes(mesh))
     return jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), _batch_spec(mesh), P()),
@@ -219,8 +221,9 @@ def shard_batch_fns(mesh: Mesh, train_fn, eval_fn, render_fn):
     r_kw = render_fn.keywords
     return (
         sharded_train_step(mesh, t_kw["optimizer"], t_kw["config"],
-                           t_kw["ray_chunks"]),
-        sharded_eval_step(mesh, e_kw["config"], e_kw["ray_chunks"]),
+                           t_kw["ray_chunks"], t_kw.get("loss_fn")),
+        sharded_eval_step(mesh, e_kw["config"], e_kw["ray_chunks"],
+                          e_kw.get("loss_fn")),
         sharded_render(mesh, r_kw["config"], r_kw["ray_chunks"]),
     )
 

@@ -167,7 +167,10 @@ class NeRFTrainMonitor:
         # curves, exactly the reference's verbose debug renders
         # (`callback.py:75-111`).
         coarse, fine = self.model.predict_and_render_images(self.rays)
-        for i in range(self.batch_size):
+        # The captured fixed batch can be smaller than batch_size (e.g. a
+        # dataset batched below the monitor's batch_size) — clamp like the
+        # fresh-batch loop below.
+        for i in range(min(self.batch_size, self.images.shape[0])):
             fig = plt.figure(figsize=(20, 10))
             gs = fig.add_gridspec(2, 5)
             self._panel_row(fig, gs, 0, coarse, fine,
@@ -192,7 +195,10 @@ class NeRFTrainMonitor:
 
         # Fixed-batch panels with loss curves (`callback.py:126-166`).
         coarse, fine = self.model.predict_and_render_images(self.rays)
-        for i in range(self.batch_size):
+        # The captured fixed batch can be smaller than batch_size (e.g. a
+        # dataset batched below the monitor's batch_size) — clamp like the
+        # fresh-batch loop below.
+        for i in range(min(self.batch_size, self.images.shape[0])):
             fig = plt.figure(figsize=(20, 10))
             gs = fig.add_gridspec(2, 5)
             self._panel_row(fig, gs, 0, coarse, fine,

@@ -61,6 +61,30 @@ def test_monitor_full_cycle(tmp_path, scene):
     assert len(monitor2.coarse_log_list) == 2
 
 
+def test_monitor_clamps_fixed_batch_to_dataset_batch(tmp_path, scene):
+    """Regression: monitor batch_size larger than the DATASET's batch (but
+    not larger than num_examples, so the rebatch guard stays off) must
+    clamp the fixed-batch panel loop instead of indexing past the captured
+    batch (IndexError at the first logging epoch)."""
+    train, _, _ = DatasetLoader(scene).load_dataset(
+        batch_size=2, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+    assert train.num_examples == 4
+    log_dir = str(tmp_path / "logs_clamp")
+    monitor = NeRFTrainMonitor(dataset=train, log_dir=log_dir,
+                               batch_size=4, update_freq=1)
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=512)
+    monitor.set_model(model)
+    logs = {"coarse_loss": 0.2, "fine_loss": 0.1,
+            "val_coarse_loss": 0.2, "val_fine_loss": 0.1}
+    monitor.on_epoch_end(0, logs)  # pre-fix: IndexError at i=2
+    assert os.path.exists(os.path.join(log_dir, "test_1_0.png"))
+    assert not os.path.exists(os.path.join(log_dir, "test_2_0.png"))
+
+
 def test_monitor_rebatches_small_dataset(tmp_path, scene):
     """Regression: a monitor dataset smaller than the (global) batch size
     would yield zero batches under drop_remainder; the monitor must rebatch

@@ -261,6 +261,51 @@ def test_nerf_render_occupancy_under_mesh(cfg):
     assert (2.0, 6.0, 8, 8, False) in model._mesh_occ_cache
 
 
+def test_sharded_train_step_honors_custom_loss(cfg):
+    """Regression: a custom loss compiled with mesh= must reach the
+    per-device step (shard_batch_fns used to drop loss_fn -> silent MSE)."""
+    def l1(y_true, y_pred):
+        return jnp.mean(jnp.abs(y_true - y_pred))
+
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = make_batch(8, 8, 8, cfg.n_coarse, seed=3)
+    key = jax.random.PRNGKey(5)
+    mesh = make_mesh(8)
+
+    _, m1 = engine.train_step(state, batch, key, optimizer=opt, config=cfg,
+                              ray_chunks=64, loss_fn=l1)
+    step = jax.jit(sharded_train_step(mesh, opt, cfg, ray_chunks=64,
+                                      loss_fn=l1))
+    _, m8 = step(replicate(state, mesh), shard_batch(batch, mesh), key)
+    # Per-device chunk keys differ from the single-device chunk split
+    # (different stratified draws), so exact equality is not expected —
+    # but the value must be L1-sized, nowhere near the MSE the dropped
+    # loss_fn used to silently produce.
+    np.testing.assert_allclose(float(m8["fine_loss"]),
+                               float(m1["fine_loss"]), rtol=1e-2)
+    _, m_mse = engine.train_step(state, batch, key, optimizer=opt,
+                                 config=cfg, ray_chunks=64)
+    assert (abs(float(m8["fine_loss"]) - float(m1["fine_loss"]))
+            < 0.05 * abs(float(m8["fine_loss"])
+                         - float(m_mse["fine_loss"])))
+
+
+def test_compile_rejects_non_divisible_batch_under_mesh():
+    """Training compile must reject batch_size that the mesh cannot split
+    along the image-batch axis (previously only num_rays was checked)."""
+    from keras_nerf_tpu.models import NeRF
+
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    with pytest.raises(ValueError, match="batch_size"):
+        model.compile(batch_size=4, image_height=16, image_width=16,
+                      ray_chunks=64, mesh=make_mesh(8))
+    # Render-only compiles shard image height, not the batch: batch 1 OK.
+    model.compile(batch_size=1, image_height=16, image_width=16,
+                  ray_chunks=32, is_training=False, mesh=make_mesh(8))
+
+
 def test_make_mesh_rejects_more_devices_than_available():
     """Requesting a larger mesh than the host has must raise, not silently
     truncate (callers validate divisibility against the requested count)."""
