@@ -496,7 +496,7 @@ def _fused_sampling_ok(config: NeRFConfig) -> bool:
 def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
                       key, config: NeRFConfig, target=None,
                       with_weights=True, coarse_image=True,
-                      quantized=False):
+                      quantized=False, fine_points=None):
     """Coarse pass -> hierarchical sampling -> fine pass through the fully
     fused train kernel (`kernels/ray_march.py: fused_train_chunk`).
 
@@ -527,7 +527,14 @@ def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
         pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
         white_background=config.white_background, with_grad=with_grad,
         emit_weights=(not with_grad) and with_weights, quantized=quantized)
-    if not with_grad and config.fast_render > 0:
+    if fine_points is not None:
+        # Caller-supplied fine depths (the occupancy-train tier): the fine
+        # pass neither reads the coarse weights nor resamples — explicit
+        # points straight into the kernel.
+        out_f = fused_train_chunk(
+            packed_f, origin, direction, fine_points, target, config.mlp,
+            **fine_kwargs)
+    elif not with_grad and config.fast_render > 0:
         # Opt-in fast render: importance samples only (no coarse merge).
         points = sample_pdf_sorted(
             key, midpoints(coarse_points), weights_c, config.fast_render)
@@ -571,17 +578,33 @@ def train_step(
     state: TrainState,
     batch,
     key: jax.Array,
-    optimizer: optax.GradientTransformation,
-    config: NeRFConfig,
-    ray_chunks: int,
+    occ_grid: jnp.ndarray | None = None,
+    optimizer: optax.GradientTransformation = None,
+    config: NeRFConfig = None,
+    ray_chunks: int = 0,
     axis_name: str | None = None,
     loss_fn=None,
+    occupancy: tuple | None = None,
 ) -> tuple[TrainState, dict]:
     """One optimizer step over one batch of whole-image rays.
 
     ``loss_fn(y_true, y_pred) -> scalar`` defaults to :func:`mse_loss`; a
     custom callable is applied per chunk exactly where the reference applies
     its compiled loss (`nerf.py:366-373`, callable from `train.py:130-136`).
+
+    ``occupancy`` (STATIC) + ``occ_grid`` (traced ``[G, G, G]``) enable the
+    opt-in occupancy-accelerated training tier (NerfAcc-style empty-space
+    skipping at TRAIN time, PAPERS.md): the fine pass trains on
+    ``n_samples`` depths drawn inside the baked occupancy grid instead of
+    the reference's sorted 64+128 coarse/importance merge — the fine
+    chunk shrinks from 192 to ``n_samples`` (+64 if merged) points. The
+    coarse model still trains exactly as the reference does (its
+    stratified pass is untouched), so exact-math rendering keeps working.
+    ``occupancy = (n_samples, n_probe, near, far, aabb, merge_stratified)``;
+    ``merge_stratified=True`` rank-merges the stratified coarse depths into
+    the fine pass so free space stays supervised (recommended for
+    exact-math eval of the trained model). The grid is re-baked OUTSIDE
+    the step (a few-ms sweep per epoch — `NeRF.fit`).
 
     Mirrors `NeRF.train_step` (`nerf.py:332-473`): per-chunk forward+grad for
     coarse and fine (fine's sampling reads stop-gradient coarse weights),
@@ -619,6 +642,20 @@ def train_step(
         jax.random.split(key, num_chunks),
     )
 
+    if occupancy is not None:
+        assert occ_grid is not None, "occupancy training requires occ_grid"
+        from keras_nerf_tpu.ops import occupancy as occ_mod
+        occ_n, occ_probe, occ_near, occ_far, occ_aabb, occ_merge = occupancy
+
+        def occ_fine_points(oc, dc, tc, k):
+            """Fine-pass depths inside the baked grid (optionally
+            rank-merged with the stratified coarse depths)."""
+            mids, occ = occ_mod.occupancy_along_rays(
+                oc, dc, occ_grid, occ_near, occ_far, occ_probe, occ_aabb)
+            pts = occ_mod.sample_occupied(
+                jax.random.fold_in(k, 7), mids, occ, occ_n)
+            return merge_sorted(tc, pts) if occ_merge else pts
+
     if _use_fused_train(config, loss_fn):
         # Fully fused Pallas path: per-chunk forward + quadrature + MSE
         # cotangent + backward run in one kernel per model; packing is
@@ -635,8 +672,11 @@ def train_step(
 
         def body(acc, x):
             oc, dc, tc, tgt, k = x
+            fp = (occ_fine_points(oc, dc, tc, k)
+                  if occupancy is not None else None)
             out_c, out_f = _fused_chunk_pair(
-                packed_c, packed_f, oc, dc, tc, k, config, target=tgt)
+                packed_c, packed_f, oc, dc, tc, k, config, target=tgt,
+                fine_points=fp)
             img_c, g_c = out_c[0], out_c[3]
             img_f, g_f = out_f[0], out_f[3]
             loss_c = jnp.mean(jnp.square(img_c - tgt))
@@ -652,10 +692,19 @@ def train_step(
         grads_f = unpack_grads(gp_f, config.mlp, config.pos_emb_xyz,
                                config.pos_emb_dir)
     else:
-        def chunk_loss(both_params, oc, dc, tc, tgt, k):
+        def chunk_loss(both_params, oc, dc, tc, tgt, k, fp):
             coarse_params, fine_params = both_params
-            out_c, out_f = render_chunk_pair(
-                coarse_params, fine_params, oc, dc, tc, k, config)
+            if occupancy is None:
+                out_c, out_f = render_chunk_pair(
+                    coarse_params, fine_params, oc, dc, tc, k, config)
+            else:
+                # Occupancy tier: coarse trains exactly as the reference;
+                # the fine pass renders the grid-placed depths (no coarse
+                # weights read — structural stop-gradient holds trivially).
+                out_c, _ = render_chunk(coarse_params, oc, dc, tc, k,
+                                        config)
+                out_f, _ = render_chunk(fine_params, oc, dc, fp,
+                                        jax.random.fold_in(k, 11), config)
             loss_c = loss_fn(tgt, out_c.image)
             loss_f = loss_fn(tgt, out_f.image)
             return loss_c + loss_f, (loss_c, loss_f, out_c.image, out_f.image)
@@ -666,7 +715,9 @@ def train_step(
 
         def body(acc, x):
             oc, dc, tc, tgt, k = x
-            (_, aux), grads = grad_fn(params, oc, dc, tc, tgt, k)
+            fp = (occ_fine_points(oc, dc, tc, k)
+                  if occupancy is not None else None)
+            (_, aux), grads = grad_fn(params, oc, dc, tc, tgt, k, fp)
             acc = jax.tree.map(jnp.add, acc, grads)
             return acc, aux
 

@@ -82,7 +82,14 @@ class NeRF:
                 is_training: bool = True, learning_rate: float = 1e-3,
                 lr_final: float = 0.0, lr_decay_steps: int = 0,
                 seed: int = 42, mesh=None, use_pallas: bool | None = None,
-                fast_render: int = 0, quantized_render: bool = False, **_):
+                fast_render: int = 0, quantized_render: bool = False,
+                occupancy_train: int = 0,
+                occupancy_train_samples: int = 64,
+                occupancy_train_merge: bool = True,
+                occupancy_train_warmup: int = 2,
+                occupancy_train_update: int = 1,
+                occupancy_train_threshold: float = 1.0,
+                near: float = 2.0, far: float = 6.0, **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
         Mirrors `nerf.py:78-114`: clamps ``ray_chunks`` to ``num_rays``,
@@ -163,6 +170,28 @@ class NeRF:
         train_fn = partial(engine.train_step, optimizer=self.optimizer,
                            config=self.config, ray_chunks=self.ray_chunks,
                            loss_fn=loss_fn)
+
+        # Opt-in occupancy-accelerated TRAINING (NerfAcc-style empty-space
+        # skipping at train time — engine.train_step docstring, PAPERS.md).
+        # Exact-math steps run during warmup / until the first bake.
+        self.occupancy_train = int(occupancy_train) if is_training else 0
+        self._occ_train_grid = None
+        train_occ_fn = None
+        if self.occupancy_train > 0:
+            from keras_nerf_tpu.ops import occupancy as occ_mod
+            self._occ_train_cfg = dict(
+                grid_size=self.occupancy_train,
+                warmup=max(0, int(occupancy_train_warmup)),
+                update=max(1, int(occupancy_train_update)),
+                threshold=float(occupancy_train_threshold))
+            occ_spec = (int(occupancy_train_samples), 64, float(near),
+                        float(far), occ_mod.DEFAULT_AABB,
+                        bool(occupancy_train_merge))
+            train_occ_fn = partial(engine.train_step,
+                                   optimizer=self.optimizer,
+                                   config=self.config,
+                                   ray_chunks=self.ray_chunks,
+                                   loss_fn=loss_fn, occupancy=occ_spec)
         eval_fn = partial(engine.eval_step, config=self.config,
                           ray_chunks=self.ray_chunks, loss_fn=loss_fn)
         render_fn = partial(engine.render_image_batch, config=self.config,
@@ -170,6 +199,12 @@ class NeRF:
 
         if mesh is not None:
             from keras_nerf_tpu.parallel import shard_batch_fns
+            if train_occ_fn is not None:
+                from keras_nerf_tpu.parallel import sharded_train_step
+                kw = train_occ_fn.keywords
+                train_occ_fn = sharded_train_step(
+                    mesh, kw["optimizer"], kw["config"], kw["ray_chunks"],
+                    kw["loss_fn"], occupancy=kw["occupancy"])
             train_fn, eval_fn, render_fn = shard_batch_fns(
                 mesh, train_fn, eval_fn, render_fn)
             self._render = jax.jit(render_fn)
@@ -186,6 +221,8 @@ class NeRF:
             self._render = jax.jit(
                 render_fn, static_argnames=("with_weights", "coarse_image"))
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
+        self._train_step_occ = (jax.jit(train_occ_fn, donate_argnums=donate)
+                                if train_occ_fn is not None else None)
         self._eval_step = jax.jit(eval_fn)
         # Mesh fallback for batches the shard_map in_specs cannot split
         # (e.g. a 6-image split on an 8-device mesh): an unsharded eval step
@@ -232,11 +269,50 @@ class NeRF:
 
     # ------------------------------------------------------------------ steps
 
+    def _run_train_step(self, batch, key):
+        """Dispatch to the occupancy-train step once a grid is baked
+        (warmup and pre-bake epochs run the exact reference math)."""
+        if self._train_step_occ is not None and self._occ_train_grid \
+                is not None:
+            return self._train_step_occ(self.state, batch, key,
+                                        self._occ_train_grid)
+        return self._train_step(self.state, batch, key)
+
+    def _maybe_update_occupancy_train(self, epoch: int):
+        """(Re-)bake the training occupancy grid from the CURRENT fine
+        model — called at each epoch start by :meth:`fit`. No-op before
+        the warmup epoch; re-bakes every ``occupancy_train_update``
+        epochs (the model sharpens, the grid must follow — NerfAcc's
+        periodic update)."""
+        if self.occupancy_train <= 0:
+            return
+        cfg = self._occ_train_cfg
+        if epoch < cfg["warmup"]:
+            return
+        if (self._occ_train_grid is not None
+                and (epoch - cfg["warmup"]) % cfg["update"] != 0):
+            return
+        from keras_nerf_tpu.ops import occupancy as occ_mod
+        density = occ_mod.model_density_fn(self.state.fine_params,
+                                           self.config)
+        grid = occ_mod.bake_occupancy_grid(
+            density, cfg["grid_size"], occ_mod.DEFAULT_AABB,
+            cfg["threshold"], dilate=1)
+        if self.mesh is not None:
+            from keras_nerf_tpu.parallel import replicate
+            grid = replicate(grid, self.mesh)
+        if self._occ_train_grid is None:
+            logging.info(
+                "occupancy-train: first grid baked at epoch %d "
+                "(%d^3, %.1f%% occupied)", epoch, cfg["grid_size"],
+                100.0 * float(jnp.mean(grid)))
+        self._occ_train_grid = grid
+
     def train_step(self, batch, key=None) -> dict[str, float]:
         """One gradient step; returns the six metrics (`nerf.py:332-473`)."""
         self._require_compiled()
-        self.state, metrics = self._train_step(
-            self.state, batch, key if key is not None else self._next_key())
+        self.state, metrics = self._run_train_step(
+            batch, key if key is not None else self._next_key())
         out = {k: float(v) for k, v in metrics.items()}
         for k, v in out.items():
             if k in self.metrics:
@@ -466,6 +542,7 @@ class NeRF:
 
         history = []
         for epoch in range(initial_epoch, epochs):
+            self._maybe_update_occupancy_train(epoch)
             for tracker in (*self.metrics.values(),
                             *self.val_metrics.values()):
                 tracker.reset()
@@ -493,8 +570,8 @@ class NeRF:
                         if hasattr(cb, "on_train_batch_end"):
                             cb.on_train_batch_end(batch_idx, step_metrics)
                 else:
-                    self.state, metrics = self._train_step(
-                        self.state, batch, self._next_key())
+                    self.state, metrics = self._run_train_step(
+                        batch, self._next_key())
                     pending.append(metrics)
                     if bar is None or (batch_idx + 1) % postfix_every:
                         continue

@@ -105,14 +105,25 @@ def batch_sharding(mesh: Mesh) -> jax.sharding.NamedSharding:
 
 
 def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
-                       ray_chunks: int, loss_fn=None):
-    """shard_map-wrapped train step: global batch in, replicated state out."""
+                       ray_chunks: int, loss_fn=None, occupancy=None):
+    """shard_map-wrapped train step: global batch in, replicated state out.
+
+    ``occupancy`` (the static spec of `engine.train_step`'s
+    occupancy-train tier) adds a FOURTH operand: the baked ``[G, G, G]``
+    grid, replicated across the mesh."""
     step = partial(engine.train_step, optimizer=optimizer, config=config,
                    ray_chunks=ray_chunks, loss_fn=loss_fn,
-                   axis_name=_batch_axes(mesh))
+                   occupancy=occupancy, axis_name=_batch_axes(mesh))
+    in_specs = (P(), _batch_spec(mesh), P())
+    if occupancy is not None:
+        def step_with_grid(state, batch, key, occ_grid):
+            return step(state, batch, key, occ_grid)
+        fn, in_specs = step_with_grid, in_specs + (P(),)
+    else:
+        fn = step
     return jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), _batch_spec(mesh), P()),
+        fn, mesh=mesh,
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -1,0 +1,140 @@
+"""Occupancy-accelerated training tier (opt-in `--occupancy_train`).
+
+The fine pass trains on grid-placed depths (NerfAcc-style empty-space
+skipping, PAPERS.md) while the coarse pass and all eval metrics keep the
+exact reference math — see `engine.train_step`'s `occupancy` contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keras_nerf_tpu.models import engine
+from keras_nerf_tpu.models.engine import NeRFConfig
+from keras_nerf_tpu.ops import occupancy as occ_mod
+
+
+def _cfg():
+    return NeRFConfig(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                      n_layers=2, dense_units=16, skip_layer=1)
+
+
+def _batch(b, h, w, n_coarse, seed=0):
+    key = jax.random.PRNGKey(seed)
+    images = jax.random.uniform(key, (b, h, w, 4))
+    origin = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jax.random.normal(jax.random.PRNGKey(seed + 1), (b, h, w, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.sort(jax.random.uniform(
+        jax.random.PRNGKey(seed + 2), (b, h, w, n_coarse),
+        minval=2.0, maxval=6.0), axis=-1)
+    return images, (origin, d, t)
+
+
+def _occ_spec(n_samples=8, merge=True):
+    return (n_samples, 8, 2.0, 6.0, occ_mod.DEFAULT_AABB, merge)
+
+
+def test_occupancy_train_step_updates_both_models():
+    cfg = _cfg()
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = _batch(2, 8, 8, cfg.n_coarse)
+    grid = jnp.ones((8, 8, 8), jnp.float32)
+
+    for merge in (True, False):
+        new_state, metrics = engine.train_step(
+            state, batch, jax.random.PRNGKey(1), grid, optimizer=opt,
+            config=cfg, ray_chunks=64, occupancy=_occ_spec(merge=merge))
+        assert np.isfinite(float(metrics["fine_loss"]))
+        assert float(metrics["coarse_grad_norm"]) > 0
+        assert float(metrics["fine_grad_norm"]) > 0
+        # Both param trees moved.
+        dc = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.coarse_params, new_state.coarse_params))
+        df = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.fine_params, new_state.fine_params))
+        assert max(dc) > 0 and max(df) > 0
+
+
+def test_occupancy_train_coarse_grads_match_exact_step():
+    """The coarse pass is untouched by the tier: its gradients equal the
+    exact step's coarse gradients for the same key/batch."""
+    cfg = _cfg()
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = _batch(2, 8, 8, cfg.n_coarse)
+    key = jax.random.PRNGKey(3)
+    grid = jnp.ones((8, 8, 8), jnp.float32)
+
+    s_exact, _ = engine.train_step(state, batch, key, optimizer=opt,
+                                   config=cfg, ray_chunks=64)
+    s_occ, _ = engine.train_step(state, batch, key, grid, optimizer=opt,
+                                 config=cfg, ray_chunks=64,
+                                 occupancy=_occ_spec())
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=2e-6),
+        s_exact.coarse_params, s_occ.coarse_params)
+
+
+def test_occupancy_train_loss_decreases():
+    """~40 occupancy-train steps on a constant-color target reduce the
+    fine loss (the tier actually trains)."""
+    cfg = _cfg()
+    opt = engine.make_optimizer("adam", 5e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    images, rays = _batch(2, 8, 8, cfg.n_coarse)
+    images = jnp.full_like(images, 0.7)
+    grid = jnp.ones((8, 8, 8), jnp.float32)
+
+    step = jax.jit(lambda s, k: engine.train_step(
+        s, (images, rays), k, grid, optimizer=opt, config=cfg,
+        ray_chunks=64, occupancy=_occ_spec()))
+    key = jax.random.PRNGKey(1)
+    _, m0 = step(state, key)
+    for i in range(40):
+        state, m = step(state, jax.random.fold_in(key, i))
+    assert float(m["fine_loss"]) < 0.5 * float(m0["fine_loss"])
+
+
+def test_nerf_fit_occupancy_train_bakes_and_trains():
+    """NeRF.fit with occupancy_train: exact steps through warmup, grid
+    baked at the warmup epoch, loss keeps decreasing after the switch."""
+    from keras_nerf_tpu.models import NeRF
+
+    cfg_batches = [_batch(2, 8, 8, 8, seed=s) for s in range(3)]
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=8, image_width=8,
+                  ray_chunks=128, occupancy_train=8,
+                  occupancy_train_samples=8, occupancy_train_warmup=1,
+                  near=2.0, far=6.0)
+    assert model._train_step_occ is not None
+    hist = model.fit(cfg_batches, epochs=3, verbose=False)
+    assert model._occ_train_grid is not None
+    assert model._occ_train_grid.shape == (8, 8, 8)
+    losses = [h["fine_loss"] for h in hist]
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_occupancy_train_step():
+    """The tier under a mesh: grid replicated, one DP step executes and
+    the state stays replicated/finite."""
+    from keras_nerf_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                         sharded_train_step)
+
+    cfg = _cfg()
+    opt = engine.make_optimizer("adam", 1e-3)
+    mesh = make_mesh(8)
+    state = replicate(engine.init_train_state(jax.random.PRNGKey(0), cfg,
+                                              opt), mesh)
+    batch = shard_batch(_batch(8, 8, 8, cfg.n_coarse), mesh)
+    grid = replicate(jnp.ones((8, 8, 8), jnp.float32), mesh)
+    step = jax.jit(sharded_train_step(mesh, opt, cfg, ray_chunks=64,
+                                      occupancy=_occ_spec()))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1), grid)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["fine_loss"]))

@@ -82,6 +82,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=['lanczos', 'antialias-bilinear'],
                         help='image resize filter; antialias-bilinear matches '
                              'the reference tf.image.resize exactly')
+    parser.add_argument('--occupancy_train', type=int, default=0,
+                        help='OPT-IN acceleration: after '
+                             '--occupancy_train_warmup epochs, bake a G^3 '
+                             'occupancy grid from the live fine model '
+                             '(re-baked every epoch) and train the fine '
+                             'pass on --occupancy_train_samples '
+                             'grid-placed depths instead of the 64+128 '
+                             'coarse/importance merge (NerfAcc-style '
+                             'empty-space skipping; the coarse pass and '
+                             'all eval metrics keep exact reference math). '
+                             '0 = off; 128 recommended')
+    parser.add_argument('--occupancy_train_samples', type=int, default=64)
+    parser.add_argument('--occupancy_train_warmup', type=int, default=2)
+    parser.add_argument('--occupancy_train_no_merge', action='store_true',
+                        help='do NOT rank-merge the stratified coarse '
+                             'depths into the occupancy fine pass '
+                             '(faster; free space then stays supervised '
+                             'only by the coarse model — exact-math '
+                             'renders of the fine model may float)')
 
     # NeRF Logging Parameters
     parser.add_argument('--model_dirs', type=str, default='model')
@@ -185,6 +204,12 @@ def run_training(args, mesh=None):
         use_pallas=(True if getattr(args, 'use_pallas', False) else
                     (False if getattr(args, 'no_pallas', False)
                      else None)),
+        occupancy_train=getattr(args, 'occupancy_train', 0),
+        occupancy_train_samples=getattr(args, 'occupancy_train_samples', 64),
+        occupancy_train_warmup=getattr(args, 'occupancy_train_warmup', 2),
+        occupancy_train_merge=not getattr(args, 'occupancy_train_no_merge',
+                                          False),
+        near=args.near, far=args.far,
     )
 
     callbacks = [nerf_monitor]
