@@ -93,19 +93,19 @@ def bake_occupancy_grid(
     return occ
 
 
-def model_density_fn(params, config, *, use_pallas: bool | None = None,
-                     chunk: int = 262144):
-    """The trained model's ``positions -> sigma`` (view direction is
-    irrelevant to sigma — `keras_nerf/model/nerf/mlp.py:17-18,40`)."""
-    from keras_nerf_tpu.models import engine as _engine
+@functools.lru_cache(maxsize=8)
+def _density_chunk_fn(config, resolved: bool):
+    """One shared jitted ``(params, positions, dirs) -> sigma`` per
+    (config, path). Params MUST be runtime arguments: a closure would bake
+    them into the HLO as constants, forcing a full XLA recompile on every
+    re-bake of a training occupancy grid (the weights change each epoch —
+    measured as multi-second per-epoch compiles plus occasional
+    minutes-long plan-lottery stalls on the tunneled TPU)."""
     from keras_nerf_tpu.models.mlp import apply_mlp
     from keras_nerf_tpu.ops.encoding import encode_position_and_directions
 
-    resolved = _engine.resolve_use_pallas(config) if use_pallas is None \
-        else use_pallas
-
     @jax.jit
-    def one_chunk(p, d):
+    def one_chunk(params, p, d):
         if resolved:
             from keras_nerf_tpu.kernels import fused_point_forward
             _, sigma = fused_point_forward(
@@ -119,6 +119,22 @@ def model_density_fn(params, config, *, use_pallas: bool | None = None,
         _, sigma = apply_mlp(params, enc_xyz[:, 0], enc_dir[:, 0],
                              config.mlp, config.dtype)
         return sigma[:, 0]
+
+    return one_chunk
+
+
+def model_density_fn(params, config, *, use_pallas: bool | None = None,
+                     chunk: int = 262144):
+    """The trained model's ``positions -> sigma`` (view direction is
+    irrelevant to sigma — `keras_nerf/model/nerf/mlp.py:17-18,40`)."""
+    from keras_nerf_tpu.models import engine as _engine
+
+    resolved = _engine.resolve_use_pallas(config) if use_pallas is None \
+        else use_pallas
+    chunk_fn = _density_chunk_fn(config, bool(resolved))
+
+    def one_chunk(p, d):
+        return chunk_fn(params, p, d)
 
     def density(positions: jnp.ndarray) -> jnp.ndarray:
         # Host-side chunk loop (the bake is a one-off outside jit): a

@@ -120,6 +120,27 @@ def test_nerf_fit_occupancy_train_bakes_and_trains():
     assert losses[-1] < losses[0]
 
 
+def test_nerf_fit_occupancy_train_under_mesh():
+    """NeRF.fit with occupancy_train on the fake mesh: the per-epoch bake
+    replicates the grid and the occ step runs sharded (the train.py
+    --occupancy_train --num_gpus composition)."""
+    from keras_nerf_tpu.models import NeRF
+    from keras_nerf_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    batches = [shard_batch(_batch(8, 8, 8, 8, seed=s), mesh)
+               for s in range(2)]
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=8, image_height=8, image_width=8,
+                  ray_chunks=64, mesh=mesh, occupancy_train=8,
+                  occupancy_train_samples=8, occupancy_train_warmup=1,
+                  near=2.0, far=6.0)
+    hist = model.fit(batches, epochs=2, verbose=False)
+    assert model._occ_train_grid is not None
+    assert np.isfinite(hist[-1]["fine_loss"])
+
+
 def test_sharded_occupancy_train_step():
     """The tier under a mesh: grid replicated, one DP step executes and
     the state stays replicated/finite."""

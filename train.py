@@ -83,6 +83,14 @@ def main():
                         choices=['lanczos', 'antialias-bilinear'],
                         help='image resize filter; antialias-bilinear matches '
                              'the reference tf.image.resize exactly')
+    parser.add_argument('--occupancy_train', type=int, default=0,
+                        help='OPT-IN acceleration (see train_single.py): '
+                             'train the fine pass on grid-placed depths; '
+                             'under the mesh the grid is baked once per '
+                             'epoch and replicated. 0 = off')
+    parser.add_argument('--occupancy_train_samples', type=int, default=64)
+    parser.add_argument('--occupancy_train_warmup', type=int, default=2)
+    parser.add_argument('--occupancy_train_no_merge', action='store_true')
 
     # NeRF Logging Parameters
     parser.add_argument('--model_dirs', type=str, default='model')
