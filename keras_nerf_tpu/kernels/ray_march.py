@@ -921,6 +921,10 @@ def _tri_matmul_sub(x3, s, *, upper: bool):
 
 _BIG = 3.0e38  # finite +/- sentinel for masked min/max (avoids inf lowering)
 
+# Marks "merge the draws with the CDF-source depths themselves" in
+# fused_train_chunk's sample_inputs (the exact hierarchical path).
+_SELF_MERGE = object()
+
 
 def _prefix_sum_sub(x3, s):
     """Inclusive cumulative sum along the sample (sublane) axis of
@@ -942,7 +946,8 @@ def _prefix_sum_sub(x3, s):
     return acc
 
 
-def _sample_merge_prologue(cp128, w128, u128, r_tile, s_c, n):
+def _sample_merge_prologue(cp128, w128, u128, r_tile, s_c, n,
+                           mp128=None, s_m=-1):
     """In-kernel hierarchical sampling: inverse-CDF draw + rank merge.
 
     The fine pass's prologue — replaces the XLA-side
@@ -955,17 +960,26 @@ def _sample_merge_prologue(cp128, w128, u128, r_tile, s_c, n):
     disappears too).
 
     Args:
-      cp128: ``[r_tile, 128]`` f32 — sorted coarse depths in lanes
-        ``< s_c``, ``+_BIG`` in the padding lanes (pushes phantom merge
-        ranks past every real slot).
-      w128: ``[r_tile, 128]`` f32 — coarse render weights in lanes
-        ``< s_c`` (padding lanes ignored).
+      cp128: ``[r_tile, 128]`` f32 — sorted CDF-source depths in lanes
+        ``< s_c`` (their midpoints form the inverse-CDF bins), ``+_BIG``
+        in the padding lanes (pushes phantom merge ranks past every real
+        slot when they double as the merge partner).
+      w128: ``[r_tile, 128]`` f32 — bin weights in lanes ``< s_c``
+        (padding lanes ignored).
       u128: ``[r_tile, 128]`` f32 — SORTED uniform draws in lanes
         ``< n``, ``2.0`` in the padding lanes.
+      mp128/s_m: the merge partner. ``s_m == -1`` (default) merges with
+        ``cp128`` itself — the exact hierarchical path (`nerf.py:190-191`).
+        ``s_m == 0`` skips the merge: the sorted draws ARE the output
+        (the occupancy-train tier's no-merge mode). ``s_m > 0`` merges
+        with ``mp128`` (``[r_tile, 128]`` f32, real depths in lanes
+        ``< s_m``, ``+_BIG`` padding) — the occupancy-train tier's
+        stratified-merge mode, where the CDF source (probe bins) differs
+        from the merge partner (the stratified coarse depths).
 
     Returns:
-      ``[r_tile, s_c + n, 128]`` f32 merged sorted depths, replicated
-      across lanes.
+      ``[r_tile, s_out, 128]`` f32 sorted depths, replicated across
+      lanes; ``s_out = n`` (no merge) or partner size + ``n``.
 
     Math parity with the XLA chain (`ops/sampling.py: invert_cdf`): the
     65-entry 0-prepended CDF is realized as the s_c exclusive prefix
@@ -1012,25 +1026,34 @@ def _sample_merge_prologue(cp128, w128, u128, r_tile, s_c, n):
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_below) / denom
     fine_t = bins_below + t * (bins_above - bins_below)  # [r, 128] sorted
+    if s_m == 0:
+        # No merge: the draws are already sorted (monotone CDF inversion
+        # of sorted u) — replicate them straight into the sample layout.
+        return _replicate_lanes(fine_t[:, :n])
     # Phantom draw lanes (n < 128) get +_BIG so their merge ranks fall
     # past every real output slot.
     fine_t = jnp.where(lane2 < n, fine_t, _BIG)
 
+    if s_m == -1:
+        mp128, mp3, s_m = cp128, cp3, s_c
+    else:
+        mp3 = _replicate_lanes(mp128[:, :s_m])       # [r, s_m, 128]
+
     # Rank merge (ops/sampling.py: merge_sorted — same tie-break: a
-    # coarse depth precedes an equal fine depth).
-    s_total = s_c + n
+    # partner depth precedes an equal fine depth).
+    s_total = s_m + n
     fine3 = _replicate_lanes(fine_t)                 # [r, 128, 128]
-    cnt_c = jnp.sum(jnp.where(fine3 < cp128[:, None, :], 1.0, 0.0),
+    cnt_c = jnp.sum(jnp.where(fine3 < mp128[:, None, :], 1.0, 0.0),
                     axis=1)                          # [r, 128]
     rank_c = lane2.astype(jnp.float32) + cnt_c
-    cnt_f = jnp.sum(jnp.where(cp3 <= fine_t[:, None, :], 1.0, 0.0),
+    cnt_f = jnp.sum(jnp.where(mp3 <= fine_t[:, None, :], 1.0, 0.0),
                     axis=1)                          # [r, 128]
     rank_f = lane2.astype(jnp.float32) + cnt_f
 
     slot = jax.lax.broadcasted_iota(
         jnp.int32, (r_tile, s_total, LANE), 1).astype(jnp.float32)
     picked_c = jnp.sum(
-        jnp.where(rank_c[:, None, :] == slot, cp128[:, None, :], 0.0),
+        jnp.where(rank_c[:, None, :] == slot, mp128[:, None, :], 0.0),
         axis=-1, keepdims=True)
     picked_f = jnp.sum(
         jnp.where(rank_f[:, None, :] == slot, fine_t[:, None, :], 0.0),
@@ -1161,11 +1184,16 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
     with_grad).
     """
     if sample_cfg is not None:
-        # Fused hierarchical sampling: points_ref carries the COARSE
-        # depths (padded to 128 lanes) and the next two refs the coarse
-        # weights + sorted uniform draws.
+        # Fused hierarchical sampling: points_ref carries the CDF-source
+        # depths (padded to 128 lanes) and the next two refs the bin
+        # weights + sorted uniform draws; a distinct merge partner
+        # (occupancy-train's stratified-merge mode) rides one more ref.
         w128_ref, u128_ref = refs[0], refs[1]
         refs = refs[2:]
+        mp128_ref = None
+        if sample_cfg[2] > 0:
+            mp128_ref = refs[0]
+            refs = refs[1:]
     if with_grad:
         target_ref = refs[0]
         refs = refs[1:]
@@ -1182,9 +1210,10 @@ def _train_chunk_kernel(config: MLPConfig, last_skip: bool,
 
     # ---- in-kernel (sampling +) encoding + sample intervals --------------
     if sample_cfg is not None:
-        s_c, n_fine = sample_cfg
-        t3 = _sample_merge_prologue(points_ref[...], w128_ref[...],
-                                    u128_ref[...], r_tile, s_c, n_fine)
+        s_c, n_fine, s_m = sample_cfg
+        t3 = _sample_merge_prologue(
+            points_ref[...], w128_ref[...], u128_ref[...], r_tile, s_c,
+            n_fine, mp128_ref[...] if mp128_ref is not None else None, s_m)
     elif _ABL == "norep":
         t3 = points_ref[0, 0] * jnp.ones((r_tile, s, LANE), jnp.float32)
     else:
@@ -1374,15 +1403,29 @@ def fused_train_chunk(
         # rank merge run in the kernel prologue off the coarse pass's
         # compact weights; only the tiny sorted uniform draws come from
         # XLA (RNG-stream parity with ops/sampling.py:
-        # sorted_uniforms). `points` must be None.
+        # sorted_uniforms). `points` must be None. A 4-tuple
+        # ``(cdf_points, weights, u, merge_points)`` separates the CDF
+        # source from the merge partner (the occupancy-train tier:
+        # probe bins feed the CDF, the stratified coarse depths — or
+        # nothing, when ``merge_points is None`` — get merged in).
         assert points is None
-        cp, wc, u = sample_inputs
+        if len(sample_inputs) == 3:
+            cp, wc, u = sample_inputs
+            mp = _SELF_MERGE
+        else:
+            cp, wc, u, mp = sample_inputs
         r, s_c = cp.shape
         n_fine = u.shape[1]
-        s = s_c + n_fine
-        assert s_c <= LANE and n_fine <= LANE, (
-            "fused sampling needs n_coarse <= 128 and n_fine <= 128")
-        sample_cfg = (s_c, n_fine)
+        if mp is _SELF_MERGE:
+            s_m, s = -1, s_c + n_fine
+        elif mp is None:
+            s_m, s = 0, n_fine
+        else:
+            s_m = mp.shape[1]
+            s = s_m + n_fine
+        assert s_c <= LANE and n_fine <= LANE and s_m <= LANE, (
+            "fused sampling needs bins, draws and merge partner <= 128")
+        sample_cfg = (s_c, n_fine, s_m)
     else:
         r, s = points.shape
         sample_cfg = None
@@ -1424,6 +1467,12 @@ def fused_train_chunk(
                        ((0, 0), (0, LANE - n_fine)), constant_values=2.0)
         in_specs += [ray_spec, _const_spec(masks8), ray_spec, ray_spec]
         operands += [cp128, masks8, w128, u128]
+        if s_m > 0:
+            mp128 = jnp.pad(mp.astype(jnp.float32),
+                            ((0, 0), (0, LANE - s_m)),
+                            constant_values=_BIG)
+            in_specs.append(ray_spec)
+            operands.append(mp128)
     else:
         in_specs += [
             pl.BlockSpec((r_tile, s), lambda i: (i, 0),

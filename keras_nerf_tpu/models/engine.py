@@ -496,7 +496,8 @@ def _fused_sampling_ok(config: NeRFConfig) -> bool:
 def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
                       key, config: NeRFConfig, target=None,
                       with_weights=True, coarse_image=True,
-                      quantized=False, fine_points=None):
+                      quantized=False, fine_points=None,
+                      fine_sample_inputs=None):
     """Coarse pass -> hierarchical sampling -> fine pass through the fully
     fused train kernel (`kernels/ray_march.py: fused_train_chunk`).
 
@@ -527,7 +528,16 @@ def _fused_chunk_pair(packed_c, packed_f, origin, direction, coarse_points,
         pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
         white_background=config.white_background, with_grad=with_grad,
         emit_weights=(not with_grad) and with_weights, quantized=quantized)
-    if fine_points is not None:
+    if fine_sample_inputs is not None:
+        # Caller-supplied sampling inputs (the occupancy-train tier with
+        # fused sampling): the inverse-CDF over the probe bins — plus the
+        # optional rank merge with the stratified depths — runs in the
+        # fine kernel's prologue; only the probe gather and the sorted
+        # uniform draws come from XLA.
+        out_f = fused_train_chunk(
+            packed_f, origin, direction, None, target, config.mlp,
+            sample_inputs=fine_sample_inputs, **fine_kwargs)
+    elif fine_points is not None:
         # Caller-supplied fine depths (the occupancy-train tier): the fine
         # pass neither reads the coarse weights nor resamples — explicit
         # points straight into the kernel.
@@ -646,12 +656,30 @@ def train_step(
         assert occ_grid is not None, "occupancy training requires occ_grid"
         from keras_nerf_tpu.ops import occupancy as occ_mod
         occ_n, occ_probe, occ_near, occ_far, occ_aabb, occ_merge = occupancy
+        # With the fused kernels, the inverse-CDF over the probe bins (and
+        # the optional stratified merge) runs in the fine kernel's
+        # prologue; only the grid probe — independent of the coarse pass,
+        # so XLA overlaps it — and the draws stay outside.
+        occ_fuse = (_fused_sampling_ok(config) and occ_probe <= 128
+                    and occ_n <= 128
+                    and (not occ_merge or config.n_coarse <= 128))
+
+        def occ_probe_bins(oc, dc):
+            return occ_mod.occupancy_along_rays(
+                oc, dc, occ_grid, occ_near, occ_far, occ_probe, occ_aabb)
+
+        def occ_sample_inputs(oc, dc, tc, k):
+            """Fused-prologue sampling inputs: probe bins as the CDF
+            source, same RNG stream as `occ_mod.sample_occupied`."""
+            mids, occ = occ_probe_bins(oc, dc)
+            u = sorted_uniforms(jax.random.fold_in(k, 7), (oc.shape[0],),
+                                occ_n)
+            return (mids, occ, u, tc if occ_merge else None)
 
         def occ_fine_points(oc, dc, tc, k):
             """Fine-pass depths inside the baked grid (optionally
             rank-merged with the stratified coarse depths)."""
-            mids, occ = occ_mod.occupancy_along_rays(
-                oc, dc, occ_grid, occ_near, occ_far, occ_probe, occ_aabb)
+            mids, occ = occ_probe_bins(oc, dc)
             pts = occ_mod.sample_occupied(
                 jax.random.fold_in(k, 7), mids, occ, occ_n)
             return merge_sorted(tc, pts) if occ_merge else pts
@@ -672,11 +700,15 @@ def train_step(
 
         def body(acc, x):
             oc, dc, tc, tgt, k = x
-            fp = (occ_fine_points(oc, dc, tc, k)
-                  if occupancy is not None else None)
+            fp = si = None
+            if occupancy is not None:
+                if occ_fuse:
+                    si = occ_sample_inputs(oc, dc, tc, k)
+                else:
+                    fp = occ_fine_points(oc, dc, tc, k)
             out_c, out_f = _fused_chunk_pair(
                 packed_c, packed_f, oc, dc, tc, k, config, target=tgt,
-                fine_points=fp)
+                fine_points=fp, fine_sample_inputs=si)
             img_c, g_c = out_c[0], out_c[3]
             img_f, g_f = out_f[0], out_f[3]
             loss_c = jnp.mean(jnp.square(img_c - tgt))

@@ -89,6 +89,7 @@ class NeRF:
                 occupancy_train_warmup: int = 2,
                 occupancy_train_update: int = 1,
                 occupancy_train_threshold: float = 1.0,
+                occupancy_train_probe: int = 64,
                 near: float = 2.0, far: float = 6.0, **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
@@ -184,7 +185,12 @@ class NeRF:
                 warmup=max(0, int(occupancy_train_warmup)),
                 update=max(1, int(occupancy_train_update)),
                 threshold=float(occupancy_train_threshold))
-            occ_spec = (int(occupancy_train_samples), 64, float(near),
+            # Probe count trades residual probe-gather cost (the tier's
+            # only remaining non-kernel cost, ~2.7 ms per 4096-ray chunk
+            # at 64 — scripts/profile_occtrain.py) against bin
+            # resolution; the grid dilation absorbs the placement error.
+            occ_spec = (int(occupancy_train_samples),
+                        int(occupancy_train_probe), float(near),
                         float(far), occ_mod.DEFAULT_AABB,
                         bool(occupancy_train_merge))
             train_occ_fn = partial(engine.train_step,

@@ -191,7 +191,11 @@ def occupancy_along_rays(
     idx = jnp.floor(rel * g).astype(jnp.int32)
     inside = jnp.all((idx >= 0) & (idx < g), axis=-1)
     idx = jnp.clip(idx, 0, g - 1)
-    occ = occ_grid[idx[..., 0], idx[..., 1], idx[..., 2]]
+    # One flat gather instead of a 3-operand gather: measured 21% cheaper
+    # on v5e (scripts/profile_probe.py — the gather is latency-bound, and
+    # the flat form skips XLA's multi-axis index arithmetic).
+    flat = (idx[..., 0] * g + idx[..., 1]) * g + idx[..., 2]
+    occ = jnp.take(occ_grid.reshape(-1), flat)
     occ = jnp.where(inside, occ, 0.0)
     return jnp.broadcast_to(mids, occ.shape), occ
 
@@ -214,7 +218,7 @@ def sample_occupied(
 
 
 def _render_points_chunk(params, origin, direction, points, key, config,
-                         packed_q=None, packed=None):
+                         packed_q=None, packed=None, sample_inputs=None):
     """Forward + quadrature over explicit per-ray depths (fused kernel on
     TPU, XLA elsewhere) -> ``RenderOutput`` (weights omitted).
 
@@ -224,7 +228,10 @@ def _render_points_chunk(params, origin, direction, points, key, config,
     `engine.render_image_batch`). ``packed`` is an optional pre-packed
     f32/bf16 weights dict (`pack_mlp_params`) so callers with a chunk
     loop pack once outside it (chunk-invariant, like
-    `engine.render_image_batch`)."""
+    `engine.render_image_batch`). ``sample_inputs`` (fused path only)
+    replaces ``points`` with the kernel-prologue sampling form —
+    ``(bin_mids, occ, u, None)`` here — so the inverse-CDF runs in-kernel.
+    """
     from keras_nerf_tpu.models import engine as _engine
     from keras_nerf_tpu.ops.rendering import RenderOutput
 
@@ -237,11 +244,14 @@ def _render_points_chunk(params, origin, direction, points, key, config,
         elif packed is None:
             packed = pack_mlp_params(params, config.mlp, config.pos_emb_xyz,
                                      config.pos_emb_dir)
+        if sample_inputs is not None:
+            points = None
         image, depth, _ = fused_train_chunk(
             packed, origin, direction, points, None, config.mlp,
             pos_emb_xyz=config.pos_emb_xyz, pos_emb_dir=config.pos_emb_dir,
             white_background=config.white_background, with_grad=False,
-            emit_weights=False, quantized=packed_q is not None)[:3]
+            emit_weights=False, quantized=packed_q is not None,
+            sample_inputs=sample_inputs)[:3]
         return RenderOutput(image=image, depth=depth, weights=None)
     out, _ = _engine.render_chunk(params, origin, direction, points, key,
                                   config)
@@ -296,13 +306,26 @@ def render_image_batch_occ(
         packed = pack_mlp_params(fine_params, config.mlp,
                                  config.pos_emb_xyz, config.pos_emb_dir)
 
+    from keras_nerf_tpu.ops.sampling import sorted_uniforms
+    occ_fuse = (_engine._use_fused_train(config, None)
+                and _engine._fused_sampling_ok(config)
+                and n_probe <= 128 and n_samples <= 128)
+
     def body(_, x):
         oc, dc, k = x
         mids, occ = occupancy_along_rays(oc, dc, occ_grid, near, far,
                                          n_probe, aabb)
-        pts = sample_occupied(k, mids, occ, n_samples)
-        out = _render_points_chunk(fine_params, oc, dc, pts, k, config,
-                                   packed_q=packed_q, packed=packed)
+        if occ_fuse:
+            # Inverse-CDF in the kernel prologue (same RNG stream as
+            # sample_occupied; no merge partner).
+            u = sorted_uniforms(k, (oc.shape[0],), n_samples)
+            out = _render_points_chunk(
+                fine_params, oc, dc, None, k, config, packed_q=packed_q,
+                packed=packed, sample_inputs=(mids, occ, u, None))
+        else:
+            pts = sample_occupied(k, mids, occ, n_samples)
+            out = _render_points_chunk(fine_params, oc, dc, pts, k, config,
+                                       packed_q=packed_q, packed=packed)
         return None, (out.image, out.depth)
 
     _, (image, depth) = jax.lax.scan(body, None, (o, d, keys))

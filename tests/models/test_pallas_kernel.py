@@ -442,6 +442,100 @@ def test_fused_sampling_matches_xla_chain(s_c, n_fine):
         assert rel < 0.02, (jax.tree_util.keystr(path), rel)
 
 
+@pytest.mark.parametrize("merge", [False, True])
+def test_fused_occupancy_sampling_matches_xla_chain(merge):
+    """The 4-tuple sample_inputs form (the occupancy-train tier): the CDF
+    source is the probe-bin occupancy field and the merge partner is the
+    stratified depths (or absent) — must reproduce the XLA
+    sample_occupied (+ merge_sorted) chain given the same draws."""
+    from keras_nerf_tpu.kernels import pack_mlp_params, unpack_grads
+    from keras_nerf_tpu.kernels.ray_march import fused_train_chunk
+    from keras_nerf_tpu.ops.occupancy import sample_occupied
+    from keras_nerf_tpu.ops.sampling import merge_sorted, sorted_uniforms
+
+    s_c, n_probe, occ_n = 24, 32, 16
+    cfg = NeRFConfig(n_coarse=s_c, n_fine=occ_n, n_layers=3,
+                     dense_units=256, skip_layer=2, white_background=True)
+    params, _ = engine.init_params(jax.random.PRNGKey(2), cfg)
+    packed = pack_mlp_params(params, cfg.mlp, cfg.pos_emb_xyz,
+                             cfg.pos_emb_dir)
+    r = 16
+    o = jnp.zeros((r, 3)).at[:, 2].set(4.0)
+    d = jax.random.normal(jax.random.PRNGKey(1), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tc = jnp.sort(jax.random.uniform(jax.random.PRNGKey(3), (r, s_c),
+                                     minval=2.0, maxval=6.0), axis=-1)
+    # Probe bins: shared uniform mids, binary occupancy with empty rays
+    # (row 0 all-empty exercises the weights+1e-5 uniform fallback).
+    mids = jnp.broadcast_to(
+        jnp.linspace(2.0, 6.0, n_probe + 1)[:-1] + 2.0 / n_probe,
+        (r, n_probe))
+    occ = (jax.random.uniform(jax.random.PRNGKey(4), (r, n_probe))
+           > 0.7).astype(jnp.float32).at[0].set(0.0)
+    tgt = jax.random.uniform(jax.random.PRNGKey(5), (r, 3))
+    key = jax.random.PRNGKey(7)
+
+    pts = sample_occupied(key, mids, occ, occ_n)
+    pts = merge_sorted(tc, pts) if merge else pts
+    ref = fused_train_chunk(packed, o, d, pts, tgt, cfg.mlp,
+                            white_background=True, with_grad=True,
+                            emit_weights=False, interpret=True)
+    u = sorted_uniforms(key, (r,), occ_n)
+    new = fused_train_chunk(packed, o, d, None, tgt, cfg.mlp,
+                            white_background=True, with_grad=True,
+                            emit_weights=False,
+                            sample_inputs=(mids, occ, u,
+                                           tc if merge else None),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(new[0]), np.asarray(ref[0]),
+                               atol=2e-3)  # image
+    np.testing.assert_allclose(np.asarray(new[1]), np.asarray(ref[1]),
+                               atol=5e-3)  # depth
+    g_ref = unpack_grads(ref[3], cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)
+    g_new = unpack_grads(new[3], cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_new)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-8)
+        assert rel < 0.02, (jax.tree_util.keystr(path), rel)
+
+
+@pytest.mark.parametrize("merge", [False, True])
+def test_occupancy_train_step_fused_matches_xla_chain(merge, monkeypatch):
+    """Full occupancy train step: the fused-prologue route and the
+    KNT_NO_FUSED_SAMPLING XLA-chain route must take the same optimizer
+    step (same RNG stream end-to-end)."""
+    from keras_nerf_tpu.ops.occupancy import DEFAULT_AABB
+
+    cfg = NeRFConfig(n_coarse=8, n_fine=8, n_layers=2, dense_units=256,
+                     skip_layer=4, white_background=True, use_pallas=True)
+    opt = engine.make_optimizer("sgd", 1.0)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    from keras_nerf_tpu.data.synthetic import random_ray_batch
+    batch = random_ray_batch(1, 4, 8, cfg.n_coarse, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    occ = (8, 8, 2.0, 6.0, DEFAULT_AABB, merge)
+    grid = jnp.ones((16, 16, 16), jnp.float32).at[:8].set(0.0)
+
+    def run():
+        s, m = engine.train_step(state, batch, key, occ_grid=grid,
+                                 optimizer=opt, config=cfg, ray_chunks=16,
+                                 occupancy=occ)
+        return s, m
+
+    s_f, m_f = run()
+    monkeypatch.setenv("KNT_NO_FUSED_SAMPLING", "1")
+    s_x, m_x = run()
+    np.testing.assert_allclose(float(m_f["fine_loss"]),
+                               float(m_x["fine_loss"]), rtol=0.02)
+    for a, b in zip(jax.tree.leaves(s_f.fine_params),
+                    jax.tree.leaves(s_x.fine_params)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+        assert rel < 0.05, rel
+
+
 def test_fused_sampling_engine_gate(monkeypatch):
     """KNT_NO_FUSED_SAMPLING=1 must route the engine back through the
     XLA sampling chain, and both engine routes must agree on the fine

@@ -90,6 +90,38 @@ def test_render_image_batch_occ_runs(grid):
     assert np.isfinite(np.asarray(out["image"])).all()
 
 
+def test_render_image_batch_occ_fused_sampling_matches_xla(grid,
+                                                           monkeypatch):
+    """With the Pallas kernels on, the occupancy render's inverse-CDF
+    runs in the fine kernel's prologue; it must agree with the XLA
+    sample_occupied route (same key -> same draws)."""
+    cfg = NeRFConfig(n_coarse=8, n_fine=8, n_layers=2, dense_units=256,
+                     skip_layer=4, white_background=True, use_pallas=True)
+    _, fine = engine.init_params(jax.random.PRNGKey(0), cfg)
+    b, h, w = 1, 4, 8
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (b, h, w, 1))
+    d = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 8), (b, h, w, 8))
+
+    def run():
+        return render_image_batch_occ(
+            fine, (o, d, t), grid, jax.random.PRNGKey(2), cfg,
+            n_samples=8, n_probe=32, ray_chunks=32)
+
+    assert engine._fused_sampling_ok(cfg)
+    fused = run()
+    monkeypatch.setenv("KNT_NO_FUSED_SAMPLING", "1")
+    # The env gate is read at TRACE time and render_image_batch_occ is
+    # jitted — drop the cached trace so the XLA route actually compiles.
+    jax.clear_caches()
+    xla = run()
+    np.testing.assert_allclose(np.asarray(fused["image"]),
+                               np.asarray(xla["image"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fused["depth"]),
+                               np.asarray(xla["depth"]), atol=5e-3)
+
+
 def test_nerf_bake_and_render_occupancy():
     from keras_nerf_tpu.models import NeRF
 

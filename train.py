@@ -90,6 +90,7 @@ def main():
                              'epoch and replicated. 0 = off')
     parser.add_argument('--occupancy_train_samples', type=int, default=64)
     parser.add_argument('--occupancy_train_warmup', type=int, default=2)
+    parser.add_argument('--occupancy_train_probe', type=int, default=64)
     parser.add_argument('--occupancy_train_no_merge', action='store_true')
 
     # NeRF Logging Parameters

@@ -95,6 +95,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              '0 = off; 128 recommended')
     parser.add_argument('--occupancy_train_samples', type=int, default=64)
     parser.add_argument('--occupancy_train_warmup', type=int, default=2)
+    parser.add_argument('--occupancy_train_probe', type=int, default=64,
+                        help='probe bins per ray for the occupancy CDF; '
+                             '32 halves the residual probe-gather cost at '
+                             'half the bin resolution (grid dilation '
+                             'absorbs the placement error)')
     parser.add_argument('--occupancy_train_no_merge', action='store_true',
                         help='do NOT rank-merge the stratified coarse '
                              'depths into the occupancy fine pass '
@@ -207,6 +212,7 @@ def run_training(args, mesh=None):
         occupancy_train=getattr(args, 'occupancy_train', 0),
         occupancy_train_samples=getattr(args, 'occupancy_train_samples', 64),
         occupancy_train_warmup=getattr(args, 'occupancy_train_warmup', 2),
+        occupancy_train_probe=getattr(args, 'occupancy_train_probe', 64),
         occupancy_train_merge=not getattr(args, 'occupancy_train_no_merge',
                                           False),
         near=args.near, far=args.far,
