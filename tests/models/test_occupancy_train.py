@@ -120,6 +120,25 @@ def test_nerf_fit_occupancy_train_bakes_and_trains():
     assert losses[-1] < losses[0]
 
 
+def test_occupancy_train_probe_flag_plumbs_through():
+    """compile(occupancy_train_probe=N) must reach the occ spec: the fine
+    pass's CDF then uses N probe bins (observable via a grid that the
+    default 64-bin probe would sample differently)."""
+    from keras_nerf_tpu.models import NeRF
+
+    batches = [_batch(2, 8, 8, 8, seed=0)]
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=8, image_width=8,
+                  ray_chunks=128, occupancy_train=8,
+                  occupancy_train_samples=8, occupancy_train_warmup=0,
+                  occupancy_train_probe=24, near=2.0, far=6.0)
+    spec = model._train_step_occ.__wrapped__.keywords["occupancy"]
+    assert spec[0] == 8 and spec[1] == 24  # (n_samples, n_probe, ...)
+    hist = model.fit(batches, epochs=1, verbose=False)
+    assert np.isfinite(hist[-1]["fine_loss"])
+
+
 def test_nerf_fit_occupancy_train_under_mesh():
     """NeRF.fit with occupancy_train on the fake mesh: the per-epoch bake
     replicates the grid and the occ step runs sharded (the train.py
