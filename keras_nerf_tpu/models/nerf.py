@@ -150,6 +150,18 @@ class NeRF:
         logging.info("num_rays=%d per_device_rays=%d sequential_chunks=%d",
                      self.num_rays, per_device_rays, self.sequential_chunks)
 
+        self._train_config = None
+        if is_training:
+            self._train_config = {
+                "optimizer": (optimizer if isinstance(optimizer, str)
+                              else type(optimizer).__name__),
+                "learning_rate": float(learning_rate),
+                "lr_final": float(lr_final),
+                "lr_decay_steps": int(lr_decay_steps),
+            }
+            if self.model_path is not None and self.state is None:
+                checkpoint.warn_train_config_mismatch(
+                    self.model_path, self._train_config)
         if lr_final > 0.0 and lr_decay_steps > 0:
             # NeRF-paper exponential decay; state counts live in the optax
             # optimizer state, so checkpoint resume continues the schedule.
@@ -646,7 +658,9 @@ class NeRF:
         if self.state is None:
             raise RuntimeError("no state to save; compile() first")
         checkpoint.save_model(path, self.state, self.config,
-                              weights_only=weights_only)
+                              weights_only=weights_only,
+                              train_config=getattr(
+                                  self, "_train_config", None))
 
     def load_model(self, path: str):
         """Restore config + weights from a checkpoint directory

@@ -28,6 +28,7 @@ COARSE_WEIGHTS = "coarse.msgpack"
 FINE_WEIGHTS = "fine.msgpack"
 OPTIMIZER_STATE = "optimizer.msgpack"
 MODEL_CONFIG = "model_config.json"
+TRAIN_CONFIG = "train_config.json"
 
 
 def _to_host(tree: Any) -> Any:
@@ -52,16 +53,24 @@ def save_model(
     config: NeRFConfig,
     weights_only: bool = False,
     include_optimizer: bool = True,
+    train_config: dict | None = None,
 ) -> None:
     """Write config + weights (+ optimizer state) to ``path``.
 
     ``weights_only`` skips re-writing ``model_config.json`` (the reference's
-    periodic-save behavior, `callback.py:220-222`).
+    periodic-save behavior, `callback.py:220-222`). ``train_config``, when
+    given, is persisted as ``train_config.json`` so a resume can detect
+    hyperparameter drift (lr schedule, optimizer) against the run that
+    produced the checkpoint — the reference persists only the 7 model keys
+    (`nerf.py:47-61`), which made silent lr-mismatch resumes possible.
     """
     os.makedirs(path, exist_ok=True)
     if not weights_only:
         with open(os.path.join(path, MODEL_CONFIG), "w") as f:
             json.dump(config.to_model_config(), f)
+    if train_config is not None:
+        with open(os.path.join(path, TRAIN_CONFIG), "w") as f:
+            json.dump(train_config, f)
     with open(os.path.join(path, COARSE_WEIGHTS), "wb") as f:
         f.write(_serialize(state.coarse_params))
     with open(os.path.join(path, FINE_WEIGHTS), "wb") as f:
@@ -77,6 +86,41 @@ def load_model_config(path: str, **overrides) -> NeRFConfig:
     """Read ``model_config.json`` -> :class:`NeRFConfig` (`nerf.py:66-76`)."""
     with open(os.path.join(path, MODEL_CONFIG)) as f:
         return NeRFConfig.from_model_config(json.load(f), **overrides)
+
+
+def load_train_config(path: str) -> dict | None:
+    """Read ``train_config.json`` if the checkpoint has one (older
+    checkpoints and reference imports don't)."""
+    p = os.path.join(path, TRAIN_CONFIG)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def warn_train_config_mismatch(path: str, current: dict) -> list[str]:
+    """Compare the resuming run's training hyperparameters against the
+    checkpoint's persisted ones; WARN per differing key. Explicit flags
+    still win (training continues with ``current``) — this exists so a
+    resume launched with different/default flags is loud instead of
+    silently diverging (e.g. a forgotten ``--lr_final`` resets the lr
+    schedule AND invalidates the optimizer-state tree). Returns the list
+    of mismatched keys."""
+    import logging
+    saved = load_train_config(path)
+    if saved is None:
+        return []
+    mismatched = []
+    for key, cur in current.items():
+        if key in saved and saved[key] != cur:
+            mismatched.append(key)
+            logging.warning(
+                "resume hyperparameter mismatch: %s was %r when the "
+                "checkpoint in %s was written, but this run uses %r — "
+                "continuing with %r (pass the original flag to match "
+                "the checkpointed run)",
+                key, saved[key], path, cur, cur)
+    return mismatched
 
 
 def has_weights(path: str) -> bool:

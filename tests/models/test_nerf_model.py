@@ -144,6 +144,42 @@ def test_resume_restores_optimizer_state(tmp_path, datasets):
                if hasattr(l, "shape") and getattr(l, "size", 0) > 1)
 
 
+def test_resume_warns_on_train_config_mismatch(tmp_path, datasets, caplog):
+    """A resume launched with different lr-schedule flags than the run that
+    wrote the checkpoint must WARN per mismatched key (the silent variant
+    resets the schedule to the new flags AND drops the optimizer state —
+    the exact footgun train_config.json exists to catch)."""
+    import logging
+
+    train, _, _ = datasets
+    model = small_nerf()
+    model.compile(batch_size=2, image_height=16, image_width=16,
+                  ray_chunks=128, learning_rate=5e-4, lr_final=5e-6,
+                  lr_decay_steps=100)
+    model.train_step(next(iter(train)))
+    path = str(tmp_path / "ckpt")
+    model.save_model(path)
+    assert os.path.exists(os.path.join(path, "train_config.json"))
+
+    model2 = NeRF(model_path=path)
+    with caplog.at_level(logging.WARNING):
+        model2.compile(batch_size=2, image_height=16, image_width=16,
+                       ray_chunks=128)  # default lr=1e-3, no schedule
+    text = caplog.text
+    assert "resume hyperparameter mismatch" in text
+    for key in ("learning_rate", "lr_final", "lr_decay_steps"):
+        assert key in text
+
+    # Matching flags: no warning.
+    model3 = NeRF(model_path=path)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        model3.compile(batch_size=2, image_height=16, image_width=16,
+                       ray_chunks=128, learning_rate=5e-4, lr_final=5e-6,
+                       lr_decay_steps=100)
+    assert "resume hyperparameter mismatch" not in caplog.text
+
+
 def test_weights_only_save(tmp_path, datasets):
     model = small_nerf()
     model.compile(batch_size=2, image_height=16, image_width=16,
