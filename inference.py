@@ -201,10 +201,12 @@ def main():
 
     os.makedirs(args.output_dir, exist_ok=True)
     gif_path = os.path.join(args.output_dir, f'{args.name}.gif')
-    imageio.mimwrite(gif_path, frames, fps=20)
+    # duration is ms/frame in imageio's pillow GIF plugin (fps= is
+    # deprecated there); 50 ms == the reference's 20 fps (inference.py:121).
+    imageio.mimwrite(gif_path, frames, duration=50, loop=0)
     imageio.mimwrite(
         os.path.join(args.output_dir, f'{args.name}_depth.gif'),
-        depth_frames, fps=20)
+        depth_frames, duration=50, loop=0)
     logging.info('Wrote %s (%d frames)', gif_path, len(frames))
 
 
