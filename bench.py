@@ -31,6 +31,24 @@ import jax.numpy as jnp
 BASELINE_RAYS_PER_SEC = 16384 / 3.0  # V100, reference train_single.py:17
 BASELINE_RENDER_FPS = 20.0           # north-star render target
 
+# Padded-FLOP model (docs/DESIGN.md "Workload shape" + render roofline),
+# valid for the reference 8x256 MLPs only: 1.376 MFLOP/point forward
+# (x3 for fwd+dX+dW in training), 1.114 MFLOP/point for the sigma-only
+# coarse render pass.  v5e bf16 nameplate = 197 TFLOPS.
+FWD_FLOP_PER_POINT = 1.376e6
+FWD_FLOP_PER_POINT_SIGMA_ONLY = 1.114e6
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _mfu(flops_per_sec, args):
+    """Model FLOP utilization vs the v5e bf16 nameplate — only meaningful
+    for the default 8x256-MLP bf16 config on a TPU backend (the padded-FLOP
+    constants above are shape-specific); returns None otherwise so perf
+    regressions show as a ratio that doesn't drift with config."""
+    if args.fp32 or jax.devices()[0].platform == "cpu":
+        return None
+    return round(flops_per_sec / V5E_BF16_PEAK_FLOPS, 3)
+
 
 def make_batch(b, h, w, n_coarse, key):
     from keras_nerf_tpu.data.synthetic import random_ray_batch
@@ -73,12 +91,18 @@ def bench_train(args):
     dt = time.perf_counter() - t0
 
     rays_per_sec = num_rays * args.iters / dt
-    return {
+    result = {
         "metric": "train rays/sec/chip (coarse+fine)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
     }
+    # Points/ray = coarse pass (Nc) + fine pass (Nc+Nf merged), x3 fwd+bwd.
+    points_per_ray = config.n_coarse + (config.n_coarse + config.n_fine)
+    mfu = _mfu(rays_per_sec * points_per_ray * FWD_FLOP_PER_POINT * 3, args)
+    if mfu is not None:
+        result["mfu"] = mfu
+    return result
 
 
 def bench_render(args):
@@ -136,12 +160,22 @@ def bench_render(args):
     dt = time.perf_counter() - t0
 
     fps = args.iters / dt
-    return {
+    result = {
         "metric": f"render {args.img_wh}x{args.img_wh} frames/sec/chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_RENDER_FPS, 2),
     }
+    if not (args.fast_render or args.occupancy_grid
+            or args.quantized_render):
+        # Exact render: sigma-only coarse (Nc points) + merged fine pass.
+        flop_per_ray = (
+            config.n_coarse * FWD_FLOP_PER_POINT_SIGMA_ONLY
+            + (config.n_coarse + config.n_fine) * FWD_FLOP_PER_POINT)
+        mfu = _mfu(fps * num_rays * flop_per_ray, args)
+        if mfu is not None:
+            result["mfu"] = mfu
+    return result
 
 
 def main():

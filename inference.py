@@ -63,8 +63,11 @@ def main():
                         help='OPT-IN approximation: the fine pass evaluates '
                              'this many importance samples only (no coarse-'
                              'sample merge). 0 = exact reference math. '
-                             '96 is ~1.6x faster at negligible PSNR cost '
-                             '(docs/QUALITY.md)')
+                             'PSNR cost is checkpoint-dependent — measured '
+                             'up to -1.4 dB at 96 samples on a sharp '
+                             'checkpoint (frontier table, docs/QUALITY.md); '
+                             'prefer --occupancy_grid, which measured at or '
+                             'above exact quality')
     parser.add_argument('--quantized_render', action='store_true',
                         help='OPT-IN int8 render tier: W8A8 MXU matmuls '
                              'with static scales calibrated on the first '
@@ -76,8 +79,10 @@ def main():
                         help='OPT-IN: bake a G^3 occupancy grid from the '
                              'trained model and render with empty-space '
                              'skipping (fine model only, --occupancy_samples '
-                             'MLP evals/ray). 0 = off. 64 is the measured '
-                             'sweet spot (docs/QUALITY.md). Composes with '
+                             'MLP evals/ray). 0 = off. A 128 grid with '
+                             'K=64 samples measured ABOVE exact-math PSNR '
+                             'at 1.8x its speed (frontier table, '
+                             'docs/QUALITY.md). Composes with '
                              '--num_gpus (height-band mesh render)')
     parser.add_argument('--occupancy_samples', type=int, default=64)
     parser.add_argument('--occupancy_aabb', type=float, nargs=6,

@@ -1,0 +1,55 @@
+"""Lint: user-facing quality claims must not contradict docs/QUALITY.md.
+
+VERDICT r3 #4: help text once said `--fast_render 96` costs "negligible
+PSNR" while the measured frontier showed -1.38 dB on a sharp checkpoint.
+QUALITY.md's frontier table is the single source of truth; user-facing
+text (CLI help, README) must quote the measured worst case or point at
+the frontier, never re-assert a retired optimistic figure.
+"""
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Retired claims (case-insensitive substrings) that must never reappear
+# in user-facing text.  Each entry: (substring, why it is wrong).
+RETIRED = [
+    ("negligible psnr", "fast_render measured up to -1.4 dB on a sharp "
+                        "checkpoint (docs/QUALITY.md frontier)"),
+    ("negligible quality", "same"),
+    ("at no psnr cost", "same"),
+    ("64 is the measured sweet spot", "the 128^3 grid measured best "
+                                      "(docs/QUALITY.md frontier)"),
+]
+
+USER_FACING = ["inference.py", "train.py", "train_single.py", "bench.py",
+               "README.md"]
+
+
+def test_no_retired_quality_claims():
+    offenders = []
+    for rel in USER_FACING:
+        with open(os.path.join(REPO, rel)) as f:
+            text = f.read().lower()
+        for claim, why in RETIRED:
+            if claim in text:
+                offenders.append(f"{rel}: contains retired claim "
+                                 f"{claim!r} ({why})")
+    assert not offenders, "\n".join(offenders)
+
+
+def test_fast_render_help_quotes_measured_worst_case():
+    """The --fast_render help must carry the measured worst-case delta (or
+    defer to the frontier table) rather than an unqualified speed claim."""
+    with open(os.path.join(REPO, "inference.py")) as f:
+        text = f.read()
+    lo = text.lower()
+    assert "fast_render" in lo
+    # It must mention either the frontier/QUALITY doc or a quantified dB
+    # cost near the flag definition.
+    start = lo.index("'--fast_render'")
+    window = lo[start:start + 700]
+    assert ("quality.md" in window and
+            ("-1.4" in window or "checkpoint-dependent" in window)), (
+        "--fast_render help must quote the measured worst case and point "
+        "at docs/QUALITY.md")
