@@ -595,8 +595,16 @@ def train_step(
     axis_name: str | None = None,
     loss_fn=None,
     occupancy: tuple | None = None,
+    debug_grads: bool = False,
 ) -> tuple[TrainState, dict]:
     """One optimizer step over one batch of whole-image rays.
+
+    ``debug_grads`` (STATIC) additionally returns one gradient norm per
+    parameter tensor (``grad_norm/{coarse,fine}/<path>`` metric keys) so a
+    dead or exploding layer can be localized — parity with the reference's
+    eager per-variable zero-grad counters
+    (`keras_nerf/model/nerf/nerf.py:429-451`), off by default because the
+    extra metric fetches serialize the train loop on a tunneled TPU.
 
     ``loss_fn(y_true, y_pred) -> scalar`` defaults to :func:`mse_loss`; a
     custom callable is applied per chunk exactly where the reference applies
@@ -789,6 +797,14 @@ def train_step(
     # zero, nan/inf => non-finite) without a debug-only code path.
     metrics["coarse_grad_norm"] = optax.global_norm(grads_c)
     metrics["fine_grad_norm"] = optax.global_norm(grads_f)
+    if debug_grads:
+        # Per-variable localization (reference `nerf.py:429-451`): the
+        # consumer (NeRF._warn_grad_health) names the dead layer.
+        for model_name, g in (("coarse", grads_c), ("fine", grads_f)):
+            for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+                name = jax.tree_util.keystr(path).replace("'", "")
+                metrics[f"grad_norm/{model_name}{name}"] = jnp.sqrt(
+                    jnp.sum(jnp.square(leaf)))
     if axis_name is not None:
         metrics = jax.lax.pmean(metrics, axis_name)
     return new_state, metrics

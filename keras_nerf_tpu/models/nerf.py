@@ -90,6 +90,9 @@ class NeRF:
                 occupancy_train_update: int = 1,
                 occupancy_train_threshold: float = 1.0,
                 occupancy_train_probe: int = 64,
+                occupancy_train_until: int = 0,
+                pixel_sampling: bool = False,
+                debug_grads: bool = False,
                 near: float = 2.0, far: float = 6.0, **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
@@ -152,12 +155,28 @@ class NeRF:
 
         self._train_config = None
         if is_training:
+            # EVERY convergence-affecting knob goes in, so a resume
+            # launched with different/default flags warns per key
+            # (checkpoint.warn_train_config_mismatch). pos_emb_*/layer
+            # keys would also fail the weight-tree load, but the warning
+            # here names the flag instead of crashing with a tree error.
             self._train_config = {
                 "optimizer": (optimizer if isinstance(optimizer, str)
                               else type(optimizer).__name__),
                 "learning_rate": float(learning_rate),
                 "lr_final": float(lr_final),
                 "lr_decay_steps": int(lr_decay_steps),
+                "white_background": bool(white_background),
+                "pixel_sampling": bool(pixel_sampling),
+                "num_coarse_samples": int(self.config.n_coarse),
+                "num_fine_samples": int(self.config.n_fine),
+                "pos_emb_xyz": int(self.config.pos_emb_xyz),
+                "pos_emb_dir": int(self.config.pos_emb_dir),
+                "occupancy_train": int(occupancy_train),
+                "occupancy_train_samples": int(occupancy_train_samples),
+                "occupancy_train_merge": bool(occupancy_train_merge),
+                "occupancy_train_warmup": int(occupancy_train_warmup),
+                "occupancy_train_until": int(occupancy_train_until),
             }
             if self.model_path is not None and self.state is None:
                 checkpoint.warn_train_config_mismatch(
@@ -180,9 +199,10 @@ class NeRF:
             self.state = state
 
         donate = (0,) if is_training else ()
+        self.debug_grads = bool(debug_grads)
         train_fn = partial(engine.train_step, optimizer=self.optimizer,
                            config=self.config, ray_chunks=self.ray_chunks,
-                           loss_fn=loss_fn)
+                           loss_fn=loss_fn, debug_grads=self.debug_grads)
 
         # Opt-in occupancy-accelerated TRAINING (NerfAcc-style empty-space
         # skipping at train time — engine.train_step docstring, PAPERS.md).
@@ -196,7 +216,8 @@ class NeRF:
                 grid_size=self.occupancy_train,
                 warmup=max(0, int(occupancy_train_warmup)),
                 update=max(1, int(occupancy_train_update)),
-                threshold=float(occupancy_train_threshold))
+                threshold=float(occupancy_train_threshold),
+                until=max(0, int(occupancy_train_until)))
             # Probe count trades residual probe-gather cost (the tier's
             # only remaining non-kernel cost, ~2.7 ms per 4096-ray chunk
             # at 64 — scripts/profile_occtrain.py) against bin
@@ -209,7 +230,8 @@ class NeRF:
                                    optimizer=self.optimizer,
                                    config=self.config,
                                    ray_chunks=self.ray_chunks,
-                                   loss_fn=loss_fn, occupancy=occ_spec)
+                                   loss_fn=loss_fn, occupancy=occ_spec,
+                                   debug_grads=self.debug_grads)
         eval_fn = partial(engine.eval_step, config=self.config,
                           ray_chunks=self.ray_chunks, loss_fn=loss_fn)
         render_fn = partial(engine.render_image_batch, config=self.config,
@@ -222,7 +244,8 @@ class NeRF:
                 kw = train_occ_fn.keywords
                 train_occ_fn = sharded_train_step(
                     mesh, kw["optimizer"], kw["config"], kw["ray_chunks"],
-                    kw["loss_fn"], occupancy=kw["occupancy"])
+                    kw["loss_fn"], occupancy=kw["occupancy"],
+                    debug_grads=kw.get("debug_grads", False))
             train_fn, eval_fn, render_fn = shard_batch_fns(
                 mesh, train_fn, eval_fn, render_fn)
             self._render = jax.jit(render_fn)
@@ -305,6 +328,18 @@ class NeRF:
         if self.occupancy_train <= 0:
             return
         cfg = self._occ_train_cfg
+        if cfg["until"] > 0 and epoch >= cfg["until"]:
+            # Hybrid schedule (--occupancy_train_until E): grid-placed
+            # fine samples while the lr is high, exact reference math for
+            # the decay tail — the tail is where the last fraction of a
+            # dB lives (docs/QUALITY.md occupancy-train A/B analysis).
+            if self._occ_train_grid is not None:
+                logging.info(
+                    "occupancy-train: epoch %d >= --occupancy_train_until "
+                    "%d; switching to exact reference math for the "
+                    "remaining epochs", epoch, cfg["until"])
+                self._occ_train_grid = None
+            return
         if epoch < cfg["warmup"]:
             return
         if (self._occ_train_grid is not None
@@ -326,6 +361,22 @@ class NeRF:
                 100.0 * float(jnp.mean(grid)))
         self._occ_train_grid = grid
 
+    def _warn_grad_health(self, metrics, where: str):
+        """Zero/non-finite gradient diagnostics (the reference's eager-mode
+        zero-grad counters and assert_all_finite,
+        `nerf.py:380-382,429-451`). With ``debug_grads`` compiled in, the
+        per-variable ``grad_norm/...`` keys localize which layer died."""
+        for name in ("coarse_grad_norm", "fine_grad_norm"):
+            g = metrics.get(name)
+            if g is not None and (g == 0.0 or not np.isfinite(g)):
+                logging.warning("%s = %s %s", name, g, where)
+        for k, v in metrics.items():
+            if k.startswith("grad_norm/") and (
+                    v == 0.0 or not np.isfinite(v)):
+                logging.warning(
+                    "dead/non-finite gradient in %s (norm = %s) %s",
+                    k[len("grad_norm/"):], v, where)
+
     def train_step(self, batch, key=None) -> dict[str, float]:
         """One gradient step; returns the six metrics (`nerf.py:332-473`)."""
         self._require_compiled()
@@ -335,13 +386,7 @@ class NeRF:
         for k, v in out.items():
             if k in self.metrics:
                 self.metrics[k].update(v)
-        # Zero/non-finite gradient diagnostics (the reference's eager-mode
-        # zero-grad counters and assert_all_finite, `nerf.py:380-382,429-451`).
-        for name in ("coarse_grad_norm", "fine_grad_norm"):
-            g = out.get(name)
-            if g is not None and (g == 0.0 or not np.isfinite(g)):
-                logging.warning("%s = %s at step %d", name, g,
-                                self._step_counter)
+        self._warn_grad_health(out, f"at step {self._step_counter}")
         return out
 
     def _eval_fn_for(self, batch):
@@ -609,13 +654,8 @@ class NeRF:
                     for k, v in step_metrics.items():
                         if k in self.metrics:
                             self.metrics[k].update(float(v))
-                    for name in ("coarse_grad_norm", "fine_grad_norm"):
-                        g = step_metrics.get(name)
-                        if g is not None and (
-                                g == 0.0 or not np.isfinite(g)):
-                            logging.warning(
-                                "%s = %s (epoch %d batch %d)",
-                                name, g, epoch, batch_idx)
+                    self._warn_grad_health(
+                        step_metrics, f"(epoch {epoch} batch {batch_idx})")
                     for cb in callbacks:
                         if hasattr(cb, "on_train_batch_end"):
                             cb.on_train_batch_end(

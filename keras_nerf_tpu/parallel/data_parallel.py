@@ -105,7 +105,8 @@ def batch_sharding(mesh: Mesh) -> jax.sharding.NamedSharding:
 
 
 def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
-                       ray_chunks: int, loss_fn=None, occupancy=None):
+                       ray_chunks: int, loss_fn=None, occupancy=None,
+                       debug_grads: bool = False):
     """shard_map-wrapped train step: global batch in, replicated state out.
 
     ``occupancy`` (the static spec of `engine.train_step`'s
@@ -113,7 +114,8 @@ def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
     grid, replicated across the mesh."""
     step = partial(engine.train_step, optimizer=optimizer, config=config,
                    ray_chunks=ray_chunks, loss_fn=loss_fn,
-                   occupancy=occupancy, axis_name=_batch_axes(mesh))
+                   occupancy=occupancy, debug_grads=debug_grads,
+                   axis_name=_batch_axes(mesh))
     in_specs = (P(), _batch_spec(mesh), P())
     if occupancy is not None:
         def step_with_grid(state, batch, key, occ_grid):
@@ -232,7 +234,8 @@ def shard_batch_fns(mesh: Mesh, train_fn, eval_fn, render_fn):
     r_kw = render_fn.keywords
     return (
         sharded_train_step(mesh, t_kw["optimizer"], t_kw["config"],
-                           t_kw["ray_chunks"], t_kw.get("loss_fn")),
+                           t_kw["ray_chunks"], t_kw.get("loss_fn"),
+                           debug_grads=t_kw.get("debug_grads", False)),
         sharded_eval_step(mesh, e_kw["config"], e_kw["ray_chunks"],
                           e_kw.get("loss_fn")),
         sharded_render(mesh, r_kw["config"], r_kw["ray_chunks"]),

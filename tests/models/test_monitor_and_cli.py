@@ -263,6 +263,112 @@ def test_monitor_verbose_debug_renders(tmp_path, scene):
     assert h > w // 3  # 2-row layout, not the 1x5 strip
 
 
+def test_resume_warns_on_drifted_convergence_flags(tmp_path, scene, caplog):
+    """VERDICT r3 #5: resuming with ANY changed convergence-affecting flag
+    (not just lr/optimizer) warns with old->new values instead of silently
+    diverging — white_bg, pixel_sampling, sample counts, occupancy_train*."""
+    import logging as _logging
+
+    from keras_nerf_tpu.utils import checkpoint as ckpt
+
+    path = str(tmp_path / "ckpt")
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=1, image_height=8, image_width=8,
+                  ray_chunks=64, white_background=True,
+                  occupancy_train=8, occupancy_train_until=50,
+                  pixel_sampling=False, near=2.0, far=6.0)
+    model.save_model(path)
+    saved = ckpt.load_train_config(path)
+    for key in ("white_background", "pixel_sampling", "num_coarse_samples",
+                "num_fine_samples", "pos_emb_xyz", "occupancy_train",
+                "occupancy_train_samples", "occupancy_train_merge",
+                "occupancy_train_warmup", "occupancy_train_until"):
+        assert key in saved, f"{key} missing from persisted train_config"
+
+    # Resume with three drifted flags: each must warn by name.
+    resumed = NeRF(model_path=path, n_coarse=8, n_fine=8, pos_emb_xyz=4,
+                   pos_emb_dir=2, n_layers=2, dense_units=16, skip_layer=1)
+    with caplog.at_level(_logging.WARNING):
+        resumed.compile(batch_size=1, image_height=8, image_width=8,
+                        ray_chunks=64, white_background=False,
+                        pixel_sampling=True, occupancy_train=0,
+                        near=2.0, far=6.0)
+    text = caplog.text
+    for key in ("white_background", "pixel_sampling", "occupancy_train"):
+        assert key in text, f"no resume warning for drifted {key}"
+    # Unchanged keys stay quiet.
+    assert "num_coarse_samples" not in text
+
+
+def test_debug_grads_per_variable_diagnostics(caplog):
+    """VERDICT r3 #8: debug_grads returns one norm per parameter tensor
+    (grad_norm/{model}/<path> keys) and the NeRF layer warns naming the
+    dead layer when one is zero/non-finite (reference nerf.py:429-451)."""
+    import logging as _logging
+
+    import jax
+    from keras_nerf_tpu.data.synthetic import random_ray_batch
+    from keras_nerf_tpu.models import engine
+
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=1, image_height=8, image_width=8,
+                  ray_chunks=64, debug_grads=True)
+    batch = random_ray_batch(1, 8, 8, 8, jax.random.PRNGKey(0))
+    metrics = model.train_step(batch)
+    per_var = [k for k in metrics if k.startswith("grad_norm/")]
+    n_tensors = len(jax.tree.leaves(model.state.coarse_params)) + len(
+        jax.tree.leaves(model.state.fine_params))
+    assert len(per_var) == n_tensors
+    assert any(k.startswith("grad_norm/coarse") for k in per_var)
+    assert any(k.startswith("grad_norm/fine") for k in per_var)
+    assert all(np.isfinite(metrics[k]) and metrics[k] > 0 for k in per_var)
+
+    # A dead layer is named in the warning.
+    with caplog.at_level(_logging.WARNING):
+        model._warn_grad_health(
+            {"grad_norm/fine[rgb][kernel]": 0.0}, "at step 1")
+    assert "fine[rgb][kernel]" in caplog.text
+
+    # Off by default: no per-variable keys in the standard step.
+    cfg = model.config
+    _, plain = engine.train_step(
+        model.state, batch, jax.random.PRNGKey(1),
+        optimizer=model.optimizer, config=cfg, ray_chunks=64)
+    assert not any(k.startswith("grad_norm/") for k in plain)
+
+
+def test_pixel_sampling_composes_with_occupancy_train(tmp_path, scene):
+    """VERDICT r3 #6: --pixel_sampling x --occupancy_train through the real
+    CLI flow — both change what the fine pass trains on; the composition
+    must run (occupancy sampling is per-ray, so scrambled pixel batches
+    satisfy its contract) and the loss must decrease."""
+    sys.path.insert(0, REPO)
+    from train_single import build_arg_parser, run_training
+
+    args = build_arg_parser().parse_args([
+        "--name", "psocc", "--data_dir", scene, "--img_wh", "16",
+        "--num_coarse_samples", "8", "--num_fine_samples", "8",
+        "--num_layers", "2", "--num_units", "16", "--skip_layer", "1",
+        "--num_epochs", "4", "--batch_size", "2", "--ray_chunks", "512",
+        "--learning_rate", "5e-3",
+        "--white_bg", "--pixel_sampling",
+        "--occupancy_train", "8", "--occupancy_train_samples", "8",
+        "--occupancy_train_warmup", "1",
+        "--log_dir", str(tmp_path / "logs"),
+        "--model_dirs", str(tmp_path / "models"),
+    ])
+    nerf = run_training(args)
+    # The grid baked (occ steps actually ran after warmup)...
+    assert nerf._occ_train_grid is not None
+    # ...on pixel-sampled batches, and training made progress.
+    with open(os.path.join(str(tmp_path / "logs"), "psocc",
+                           "log.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert float(rows[-1]["fine_loss"]) < float(rows[0]["fine_loss"])
+
+
 def test_evaluate_rebatches_small_dataset(scene):
     """A test split smaller than the global batch must not silently return
     all-zero means from evaluate (ADVICE.md round 1)."""

@@ -92,6 +92,13 @@ def main():
     parser.add_argument('--occupancy_train_warmup', type=int, default=2)
     parser.add_argument('--occupancy_train_probe', type=int, default=64)
     parser.add_argument('--occupancy_train_no_merge', action='store_true')
+    parser.add_argument('--occupancy_train_until', type=int, default=0,
+                        help='hybrid schedule: occupancy-placed fine '
+                             'samples until this epoch, exact math after '
+                             '(see train_single.py). 0 = whole run')
+    parser.add_argument('--debug_grads', action='store_true',
+                        help='per-variable gradient-norm diagnostics '
+                             '(see train_single.py); debug only')
 
     # NeRF Logging Parameters
     parser.add_argument('--model_dirs', type=str, default='model')

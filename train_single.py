@@ -61,6 +61,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help='raise on any NaN (the jax equivalent of the '
                              'reference per-gradient assert_all_finite, '
                              'nerf.py:380-382)')
+    parser.add_argument('--debug_grads', action='store_true',
+                        help='log one gradient norm per parameter tensor '
+                             'each step and warn naming any dead/non-finite '
+                             'layer (the reference eager-mode per-variable '
+                             'zero-grad counters, nerf.py:429-451); adds '
+                             'per-step metric traffic — debug only')
     parser.add_argument('--profile_dir', type=str, default='',
                         help='write a jax.profiler trace for the first '
                              'training epoch to this directory')
@@ -100,6 +106,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              '32 halves the residual probe-gather cost at '
                              'half the bin resolution (grid dilation '
                              'absorbs the placement error)')
+    parser.add_argument('--occupancy_train_until', type=int, default=0,
+                        help='hybrid schedule: occupancy-placed fine '
+                             'samples until this epoch, exact reference '
+                             'math afterwards (the lr-decay tail is where '
+                             'the last fraction of a dB lives — '
+                             'docs/QUALITY.md). 0 = occupancy for the '
+                             'whole run')
     parser.add_argument('--occupancy_train_no_merge', action='store_true',
                         help='do NOT rank-merge the stratified coarse '
                              'depths into the occupancy fine pass '
@@ -215,6 +228,9 @@ def run_training(args, mesh=None):
         occupancy_train_probe=getattr(args, 'occupancy_train_probe', 64),
         occupancy_train_merge=not getattr(args, 'occupancy_train_no_merge',
                                           False),
+        occupancy_train_until=getattr(args, 'occupancy_train_until', 0),
+        pixel_sampling=getattr(args, 'pixel_sampling', False),
+        debug_grads=getattr(args, 'debug_grads', False),
         near=args.near, far=args.far,
     )
 
