@@ -142,6 +142,88 @@ def test_resize_method_antialias_bilinear(scene):
         load_image(path, 16, 16, resize_method="nearest")
 
 
+@pytest.fixture(scope="module")
+def hard_scene(tmp_path_factory):
+    out = tmp_path_factory.mktemp("hard_scene")
+    return write_synthetic_scene(
+        str(out), image_wh=48, n_train=4, n_val=2, n_test=2, scene="hard")
+
+
+def test_hard_scene_writes_and_loads(hard_scene):
+    """The adversarial fixture (VERDICT r3 #2) produces a loadable
+    Blender-format scene with substantial foreground coverage."""
+    for split in ["train", "val", "test"]:
+        assert os.path.exists(
+            os.path.join(hard_scene, f"transforms_{split}.json"))
+    img = load_image(os.path.join(hard_scene, "train", "r_0.png"), 48, 48)
+    assert 0.2 < img[..., 3].mean() < 0.95
+    train, _, _ = DatasetLoader(hard_scene).load_dataset(
+        batch_size=2, image_width=48, image_height=48,
+        near=2.0, far=6.0, n_sample=8)
+    assert train.num_examples == 4
+
+
+def test_hard_scene_view_consistency(hard_scene):
+    """render_pose(scene='hard') equals the PNG written for that pose."""
+    import json
+
+    from keras_nerf_tpu.data import render_pose
+    with open(os.path.join(hard_scene, "transforms_train.json")) as f:
+        meta = json.load(f)
+    c2w = np.asarray(meta["frames"][0]["transform_matrix"], dtype=np.float32)
+    want = load_image(os.path.join(hard_scene, "train", "r_0.png"), 48, 48)
+    got = render_pose(c2w, 48, scene="hard")
+    np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+
+
+def test_hard_scene_adversarial_properties():
+    """The fixture has the properties VERDICT r3 #2 asked for: sub-voxel
+    rods at a 128^3 grid over the default AABB, high-frequency checker
+    radiance, cast shadows, and a view-dependent specular lobe."""
+    from keras_nerf_tpu.data import synthetic
+    from keras_nerf_tpu.data.synthetic import render_pose
+    from keras_nerf_tpu.data.utils import pose_spherical
+    from keras_nerf_tpu.ops.occupancy import DEFAULT_AABB
+
+    # (a) rod thickness < one voxel of a 128^3 grid over the default AABB.
+    voxel = (DEFAULT_AABB[1][0] - DEFAULT_AABB[0][0]) / 128.0
+    assert 2 * synthetic._HARD_ROD_HALF < voxel
+
+    rgba = render_pose(pose_spherical(30.0, -30.0, 4.0), 128,
+                       supersample=2, scene="hard")
+    rgb, alpha = rgba[..., :3], rgba[..., 3]
+
+    # (b) thin rods actually render: yellow-ish pixels (r,g high, b low)
+    # exist but cover well under 5% of the frame.
+    rod = (rgb[..., 0] > 0.4) & (rgb[..., 1] > 0.3) & (rgb[..., 2] < 0.2) \
+        & (alpha > 0.5)
+    assert 0 < rod.mean() < 0.05
+
+    # (c) checkerboard: the plane shows BOTH albedos, and adjacent-pixel
+    # contrast on the lower third of the image is high (high-frequency).
+    lower = rgb[96:, :, :]
+    bright = (lower.min(axis=-1) > 0.5).mean()
+    dark = (lower.max(axis=-1) < 0.25).mean()
+    assert bright > 0.05 and dark > 0.05
+    grad = np.abs(np.diff(lower.mean(axis=-1), axis=1))
+    assert (grad > 0.3).mean() > 0.02  # many hard transitions per row
+
+    # (d) cast shadows: white checker squares appear at two distinct
+    # brightness levels (lit vs shadowed) in the same image.
+    # shadowed white ~= 0.30 * 0.92 = 0.28, lit white up to ~0.9; the dark
+    # checker tops out ~0.12, so > 0.2 selects white squares in BOTH states.
+    white_sq = (rgb[..., 0] > 0.2) & (np.abs(rgb[..., 0] - rgb[..., 1])
+                                      < 0.05) & (alpha > 0.5)
+    levels = rgb[..., 0][white_sq]
+    assert levels.max() - levels.min() > 0.3
+
+    # (e) view-dependent specular: a whitened highlight exists on the red
+    # sphere from this view (green/blue lifted far above the diffuse cap).
+    highlight = (rgb[..., 0] > 0.85) & (rgb[..., 1] > 0.5) & (
+        rgb[..., 2] > 0.4)
+    assert highlight.any()
+
+
 def test_supersampled_gt_is_registered_to_base_pixels():
     """The supersampled box filter must be CENTERED on each base pixel's
     ray: a head-on view of the origin-centered sphere renders a symmetric
