@@ -93,6 +93,7 @@ class NeRF:
                 occupancy_train_until: int = 0,
                 pixel_sampling: bool = False,
                 debug_grads: bool = False,
+                shard_rays: bool = False,
                 near: float = 2.0, far: float = 6.0, **_):
         """Finalize shapes, build params/optimizers, jit the step functions.
 
@@ -125,16 +126,30 @@ class NeRF:
         # --ray_chunks is per-device (`parallel/data_parallel.py`): validate
         # against the rays each device actually sees.
         n_devices = 1 if mesh is None else int(mesh.devices.size)
-        if is_training and batch_size % n_devices != 0:
+        self.shard_rays = bool(shard_rays) and mesh is not None
+        if self.shard_rays and pixel_sampling:
+            # Pixel-sampled batches are flat (image, pixel) draws with no
+            # height axis to split; batch-axis DP already shards them.
+            raise ValueError(
+                "--shard_rays cannot compose with --pixel_sampling "
+                "(pixel batches have no image-height axis; use plain DP)")
+        if self.shard_rays and image_height % n_devices != 0:
+            raise ValueError(
+                f"image_height {image_height} must divide across "
+                f"{n_devices} mesh devices under --shard_rays (the "
+                f"image HEIGHT axis is sharded)")
+        if (is_training and not self.shard_rays
+                and batch_size % n_devices != 0):
             # The train/eval shard_map splits the image-batch (leading)
             # axis — a num_rays-only check would accept batch_size=4 on 8
             # devices and crash opaquely at the first step's dispatch.
             # (Render-only compiles shard image HEIGHT instead, so batch 1
-            # is fine there.)
+            # is fine there; --shard_rays trains that way too.)
             raise ValueError(
                 f"batch_size {batch_size} must divide across "
                 f"{n_devices} mesh devices (the global image batch is "
-                f"sharded along its leading axis)")
+                f"sharded along its leading axis; pass shard_rays=True "
+                f"to split the image-height axis instead)")
         if self.num_rays % n_devices != 0:
             raise ValueError(
                 f"global num_rays {self.num_rays} must divide across "
@@ -245,9 +260,11 @@ class NeRF:
                 train_occ_fn = sharded_train_step(
                     mesh, kw["optimizer"], kw["config"], kw["ray_chunks"],
                     kw["loss_fn"], occupancy=kw["occupancy"],
-                    debug_grads=kw.get("debug_grads", False))
+                    debug_grads=kw.get("debug_grads", False),
+                    shard_rays=self.shard_rays)
             train_fn, eval_fn, render_fn = shard_batch_fns(
-                mesh, train_fn, eval_fn, render_fn)
+                mesh, train_fn, eval_fn, render_fn,
+                shard_rays=self.shard_rays)
             self._render = jax.jit(render_fn)
             # Tiered mesh renders (with_weights/coarse_image change the
             # shard_map out specs; quantized adds the packed_q operand, so
@@ -390,11 +407,13 @@ class NeRF:
         return out
 
     def _eval_fn_for(self, batch):
-        """Mesh-divisibility routing: batches whose leading dim does not
-        split over the mesh run through the unsharded fallback."""
-        if (self.mesh is not None
-                and batch[0].shape[0] % int(self.mesh.devices.size) != 0):
-            return self._eval_step_unsharded
+        """Mesh-divisibility routing: batches whose sharded dim (leading,
+        or height under --shard_rays) does not split over the mesh run
+        through the unsharded fallback."""
+        if self.mesh is not None:
+            dim = 1 if self.shard_rays else 0
+            if batch[0].shape[dim] % int(self.mesh.devices.size) != 0:
+                return self._eval_step_unsharded
         return self._eval_step
 
     def test_step(self, batch, key=None) -> dict[str, float]:
@@ -548,8 +567,11 @@ class NeRF:
                 "evaluate: dataset has %d images < batch size %d; rebatching",
                 dataset.num_examples, dataset.batch_size)
             dataset = dataset.rebatch(dataset.num_examples)
-            if (self.mesh is not None and dataset.batch_size
+            if (self.mesh is not None and not self.shard_rays
+                    and dataset.batch_size
                     % int(self.mesh.devices.size) != 0):
+                # (Under --shard_rays the height axis carries the sharding
+                # and rebatching the leading axis leaves it valid.)
                 dataset.sharding = None
         return dataset
 

@@ -75,11 +75,22 @@ def _batch_axes(mesh: Mesh) -> tuple[str, ...]:
     return tuple(mesh.axis_names)
 
 
-def _batch_spec(mesh: Mesh):
+def _batch_spec(mesh: Mesh, shard_rays: bool = False):
     """Batch pytree spec: (images [B,...], rays tuple), all sharded along
-    the leading axis over EVERY mesh axis (pure DP on 1-D and 2-D meshes)."""
+    the leading axis over EVERY mesh axis (pure DP on 1-D and 2-D meshes).
+
+    ``shard_rays=True`` shards the image HEIGHT axis instead (axis 1 of
+    every [B, H, W, ...] array) — ray-sharded DP. Each device trains on an
+    equal horizontal band of every image in the batch, so the pmean'd
+    gradient is bit-for-the-same-math the global-batch gradient at ANY
+    batch size, including the reference's default ``--batch_size 1``
+    (mean over all rays == mean of equal per-band ray means — the same
+    identity the chunked-gradient tests pin for ``--ray_chunks``). This
+    scales the measured single-chip batch-1 *trajectory* across the mesh
+    instead of changing the global batch."""
     axes = _batch_axes(mesh)
-    return (P(axes), (P(axes), P(axes), P(axes)))
+    spec = P(None, axes) if shard_rays else P(axes)
+    return (spec, (spec, spec, spec))
 
 
 def _band_specs(mesh: Mesh, with_weights: bool = True):
@@ -92,7 +103,8 @@ def _band_specs(mesh: Mesh, with_weights: bool = True):
     return ray_spec, (out, dict(out))
 
 
-def batch_sharding(mesh: Mesh) -> jax.sharding.NamedSharding:
+def batch_sharding(mesh: Mesh,
+                   shard_rays: bool = False) -> jax.sharding.NamedSharding:
     """The sharding of an (images, rays) batch under pure DP: leading
     (image-batch) axis split over every mesh axis.
 
@@ -100,23 +112,33 @@ def batch_sharding(mesh: Mesh) -> jax.sharding.NamedSharding:
     batch is COMMITTED per-device at creation — without it every global
     batch is staged on device 0 and re-laid-out by XLA at dispatch each
     step (a per-step host/HBM bottleneck on real multi-chip hardware,
-    invisible on the fake CPU mesh)."""
-    return jax.sharding.NamedSharding(mesh, P(_batch_axes(mesh)))
+    invisible on the fake CPU mesh).
+
+    ``shard_rays=True``: the ray-sharded DP layout (see `_batch_spec`) —
+    the image HEIGHT axis is split instead of the image-batch axis."""
+    spec = (P(None, _batch_axes(mesh)) if shard_rays
+            else P(_batch_axes(mesh)))
+    return jax.sharding.NamedSharding(mesh, spec)
 
 
 def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
                        ray_chunks: int, loss_fn=None, occupancy=None,
-                       debug_grads: bool = False):
+                       debug_grads: bool = False, shard_rays: bool = False):
     """shard_map-wrapped train step: global batch in, replicated state out.
 
     ``occupancy`` (the static spec of `engine.train_step`'s
     occupancy-train tier) adds a FOURTH operand: the baked ``[G, G, G]``
-    grid, replicated across the mesh."""
+    grid, replicated across the mesh.
+
+    ``shard_rays=True``: split the image HEIGHT axis instead of the batch
+    axis (`_batch_spec`) — global batch semantics (and therefore the
+    optimization trajectory) are those of the UNSHARDED step at the same
+    batch size; the mesh only divides the per-step ray work."""
     step = partial(engine.train_step, optimizer=optimizer, config=config,
                    ray_chunks=ray_chunks, loss_fn=loss_fn,
                    occupancy=occupancy, debug_grads=debug_grads,
                    axis_name=_batch_axes(mesh))
-    in_specs = (P(), _batch_spec(mesh), P())
+    in_specs = (P(), _batch_spec(mesh, shard_rays), P())
     if occupancy is not None:
         def step_with_grid(state, batch, key, occ_grid):
             return step(state, batch, key, occ_grid)
@@ -132,13 +154,15 @@ def sharded_train_step(mesh: Mesh, optimizer, config: NeRFConfig,
 
 
 def sharded_eval_step(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
-                      loss_fn=None):
-    """shard_map-wrapped eval step over the image-batch axis."""
+                      loss_fn=None, shard_rays: bool = False):
+    """shard_map-wrapped eval step over the image-batch axis (or, with
+    ``shard_rays=True``, over the image-height axis — which additionally
+    lifts the batch-divisibility restriction: any batch size shards)."""
     step = partial(engine.eval_step, config=config, ray_chunks=ray_chunks,
                    loss_fn=loss_fn, axis_name=_batch_axes(mesh))
     return jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(), _batch_spec(mesh), P()),
+        in_specs=(P(), _batch_spec(mesh, shard_rays), P()),
         out_specs=P(),
         check_vma=False,
     )
@@ -222,12 +246,15 @@ def sharded_render_occ(mesh: Mesh, config: NeRFConfig, ray_chunks: int,
                          out_specs=out_spec, check_vma=False)
 
 
-def shard_batch_fns(mesh: Mesh, train_fn, eval_fn, render_fn):
+def shard_batch_fns(mesh: Mesh, train_fn, eval_fn, render_fn,
+                    shard_rays: bool = False):
     """Build (train, eval, render) sharded equivalents of the partial-applied
     single-device engine functions (used by ``NeRF.compile(mesh=...)``).
 
     The partials carry (optimizer, config, ray_chunks) in their keywords —
-    re-wrap them with the mesh axis threaded through.
+    re-wrap them with the mesh axis threaded through. ``shard_rays``
+    selects the height-axis (ray-sharded) DP layout for train/eval; the
+    full-image render is always height-banded.
     """
     t_kw = train_fn.keywords
     e_kw = eval_fn.keywords
@@ -235,9 +262,10 @@ def shard_batch_fns(mesh: Mesh, train_fn, eval_fn, render_fn):
     return (
         sharded_train_step(mesh, t_kw["optimizer"], t_kw["config"],
                            t_kw["ray_chunks"], t_kw.get("loss_fn"),
-                           debug_grads=t_kw.get("debug_grads", False)),
+                           debug_grads=t_kw.get("debug_grads", False),
+                           shard_rays=shard_rays),
         sharded_eval_step(mesh, e_kw["config"], e_kw["ray_chunks"],
-                          e_kw.get("loss_fn")),
+                          e_kw.get("loss_fn"), shard_rays=shard_rays),
         sharded_render(mesh, r_kw["config"], r_kw["ray_chunks"]),
     )
 
@@ -248,8 +276,8 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, shard_rays: bool = False):
     """Place a (images, rays) batch sharded along its leading axis (over all
-    mesh axes)."""
-    sharding = jax.sharding.NamedSharding(mesh, P(_batch_axes(mesh)))
+    mesh axes); ``shard_rays=True`` shards the height axis instead."""
+    sharding = batch_sharding(mesh, shard_rays)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -291,6 +291,101 @@ def test_sharded_train_step_honors_custom_loss(cfg):
                          - float(m_mse["fine_loss"])))
 
 
+def test_ray_sharded_dp_matches_single_device(cfg):
+    """--shard_rays: height-axis DP at batch 1 equals single-device math on
+    the SAME global batch (coarse path is RNG-free; equal bands make the
+    pmean of per-band means the global mean — the chunked-gradient identity
+    distributed over devices)."""
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("sgd", 0.5)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = make_batch(1, 16, 8, cfg.n_coarse, seed=4)
+    key = jax.random.PRNGKey(7)
+
+    s1, m1 = engine.train_step(
+        state, batch, key, optimizer=opt, config=cfg, ray_chunks=16)
+    step = jax.jit(sharded_train_step(mesh, opt, cfg, ray_chunks=16,
+                                      shard_rays=True))
+    s8, m8 = step(replicate(state, mesh),
+                  shard_batch(batch, mesh, shard_rays=True), key)
+    np.testing.assert_allclose(float(m8["coarse_loss"]),
+                               float(m1["coarse_loss"]), rtol=1e-5)
+    # PSNR is a nonlinear fn of MSE: the pmean of per-BAND PSNRs differs
+    # from the whole-image PSNR by Jensen's gap (~1% here). The loss — the
+    # quantity optimization actually consumes — is exact above, and so is
+    # the parameter update below.
+    np.testing.assert_allclose(float(m8["coarse_psnr"]),
+                               float(m1["coarse_psnr"]), rtol=5e-2)
+    a = np.asarray(s1.coarse_params["trunk"][0]["kernel"])
+    b = np.asarray(s8.coarse_params["trunk"][0]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_ray_sharded_eval_lifts_batch_divisibility(cfg):
+    """Under --shard_rays the eval step shards image height, so batch sizes
+    that do NOT divide the mesh still shard (no unsharded fallback)."""
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = replicate(
+        engine.init_train_state(jax.random.PRNGKey(0), cfg, opt), mesh)
+    batch = shard_batch(make_batch(3, 16, 8, cfg.n_coarse), mesh,
+                        shard_rays=True)
+    ev = jax.jit(sharded_eval_step(mesh, cfg, ray_chunks=16,
+                                   shard_rays=True))
+    metrics = ev(state, batch, jax.random.PRNGKey(0))
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+
+
+def test_ray_sharded_occupancy_train_step_runs(cfg):
+    """--shard_rays composes with --occupancy_train: the grid rides in
+    replicated, rays arrive height-sharded."""
+    mesh = make_mesh(8)
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = make_batch(1, 16, 8, cfg.n_coarse, seed=2)
+    g = np.zeros((8, 8, 8), np.float32)
+    g[2:6, 2:6, 2:6] = 1.0
+    from keras_nerf_tpu.ops import occupancy as occ_mod
+    occ_spec = (8, 8, 2.0, 6.0, occ_mod.DEFAULT_AABB, False)
+    step = jax.jit(sharded_train_step(mesh, opt, cfg, ray_chunks=16,
+                                      occupancy=occ_spec, shard_rays=True))
+    new_state, metrics = step(replicate(state, mesh),
+                              shard_batch(batch, mesh, shard_rays=True),
+                              jax.random.PRNGKey(1),
+                              replicate(jnp.asarray(g), mesh))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["fine_loss"]))
+
+
+def test_compile_shard_rays_validation():
+    """shard_rays compile rules: height must divide the mesh; pixel
+    sampling cannot compose; batch 1 trains (the whole point)."""
+    from keras_nerf_tpu.models import NeRF
+
+    def fresh():
+        return NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                    n_layers=2, dense_units=16, skip_layer=1)
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="image_height"):
+        fresh().compile(batch_size=1, image_height=12, image_width=16,
+                        ray_chunks=8, mesh=mesh, shard_rays=True)
+    with pytest.raises(ValueError, match="pixel_sampling"):
+        fresh().compile(batch_size=8, image_height=16, image_width=16,
+                        ray_chunks=32, mesh=mesh, shard_rays=True,
+                        pixel_sampling=True)
+    model = fresh()
+    model.compile(batch_size=1, image_height=16, image_width=16,
+                  ray_chunks=32, mesh=mesh, shard_rays=True)
+    assert model.shard_rays
+    batch = make_batch(1, 16, 16, 8)
+    metrics = model.train_step(batch)
+    assert np.isfinite(metrics["fine_loss"])
+    metrics = model.test_step(batch)
+    assert np.isfinite(metrics["fine_psnr"])
+
+
 def test_compile_rejects_non_divisible_batch_under_mesh():
     """Training compile must reject batch_size that the mesh cannot split
     along the image-batch axis (previously only num_rays was checked)."""

@@ -195,6 +195,62 @@ def test_dp_fit_tracks_single_chip_batch8_trajectory(scene):
     assert dp[-1]["fine_loss"] < dp[0]["fine_loss"]
 
 
+def test_shard_rays_fit_tracks_single_chip_batch1_trajectory(scene):
+    """--shard_rays: 8-way ray-sharded DP at batch 1 follows the SAME
+    multi-epoch trajectory as the single-chip batch-1 fit — the reference
+    recipe's own batch size, unchanged by the mesh. Grads differ only by
+    pmean-vs-whole-image float reassociation and fine-pass RNG banding, so
+    the per-epoch losses must track tightly. This licenses quoting the
+    measured single-chip batch-1 quality curve (docs/QUALITY.md) as the
+    v5e-8 --shard_rays trajectory."""
+    def run(mesh, shard_rays=False):
+        train, _, _ = DatasetLoader(
+            scene, white_background=True).load_dataset(
+            batch_size=1, image_width=16, image_height=16,
+            near=2.0, far=6.0, n_sample=8, seed=3)
+        model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                     n_layers=2, dense_units=16, skip_layer=1)
+        model.compile(batch_size=1, image_height=16, image_width=16,
+                      ray_chunks=32, white_background=True,
+                      learning_rate=5e-3, seed=11, mesh=mesh,
+                      shard_rays=shard_rays)
+        return model.fit(train, epochs=4, verbose=False)
+
+    single = run(mesh=None)
+    dp = run(mesh=make_mesh(8), shard_rays=True)
+    assert len(single) == len(dp) == 4
+    for ep, (s, d) in enumerate(zip(single, dp)):
+        rel = abs(d["fine_loss"] - s["fine_loss"]) / max(s["fine_loss"],
+                                                         1e-9)
+        assert rel < 0.02, (ep, s["fine_loss"], d["fine_loss"])
+    assert dp[-1]["fine_loss"] < dp[0]["fine_loss"]
+
+
+def test_train_cli_shard_rays(tmp_path, scene, monkeypatch):
+    """train.py --shard_rays end-to-end on the fake mesh (batch 1 stays
+    global batch 1), and the --pixel_sampling composition is rejected at
+    parse time."""
+    sys.path.insert(0, REPO)
+    import train as train_cli
+
+    argv = ["train.py", "--name", "rsdp", "--data_dir", scene,
+            "--img_wh", "16", "--num_coarse_samples", "8",
+            "--num_fine_samples", "8", "--num_layers", "2",
+            "--num_units", "16", "--skip_layer", "1",
+            "--num_epochs", "2", "--batch_size", "1", "--shard_rays",
+            "--ray_chunks", "32", "--white_bg",
+            "--log_dir", str(tmp_path / "logs"),
+            "--model_dirs", str(tmp_path / "models")]
+    monkeypatch.setattr(sys, "argv", argv)
+    train_cli.main()
+    assert os.path.exists(
+        str(tmp_path / "models" / "rsdp" / "model_config.json"))
+
+    monkeypatch.setattr(sys, "argv", argv + ["--pixel_sampling"])
+    with pytest.raises(SystemExit):
+        train_cli.main()
+
+
 def test_two_d_mesh_fit_and_cli_flag(scene):
     """VERDICT r2 #6: the 2-D (replica, data) multi-slice mesh trains through
     the same NeRF.compile path, and train.py exposes --n_slices."""

@@ -56,6 +56,15 @@ def main():
                              'outermost, so the outer all-reduce hop rides '
                              'DCN and the inner ICI '
                              '(parallel/data_parallel.py: make_mesh)')
+    parser.add_argument('--shard_rays', action='store_true',
+                        help='ray-sharded DP: split the image HEIGHT axis '
+                             'across the mesh instead of the image-batch '
+                             'axis. Global batch stays batch_size (NOT '
+                             'batch_size * num_devices), so the optimizer '
+                             'trajectory is exactly the measured '
+                             'single-chip trajectory at that batch size — '
+                             'the mesh only divides per-step ray work. '
+                             'Requires img_wh %% num_devices == 0')
     parser.add_argument('--ray_chunks', type=int, default=1024)
     parser.add_argument('--learning_rate', type=float, default=1e-3)
     parser.add_argument('--lr_final', type=float, default=0.0,
@@ -107,6 +116,10 @@ def main():
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
     args.eagerly = False  # multi-device path is always jitted
+    if args.shard_rays and args.pixel_sampling:
+        parser.error('--shard_rays cannot compose with --pixel_sampling '
+                     '(pixel batches have no image-height axis to split; '
+                     'plain DP already shards them)')
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

@@ -149,10 +149,18 @@ def run_training(args, mesh=None):
                      args.profile_dir)
 
     n_devices = 1 if mesh is None else mesh.devices.size
-    global_batch_size = args.batch_size * n_devices
+    shard_rays = bool(getattr(args, 'shard_rays', False)) and mesh is not None
+    # Ray-sharded DP keeps the reference's global-batch semantics at ANY
+    # device count (the mesh splits each image's height instead of the
+    # batch axis), so the measured single-chip trajectory carries over.
+    global_batch_size = (args.batch_size if shard_rays
+                         else args.batch_size * n_devices)
     if mesh is not None:
-        logging.info("Mesh: %d devices; global batch %d",
-                     n_devices, global_batch_size)
+        logging.info("Mesh: %d devices; global batch %d%s",
+                     n_devices, global_batch_size,
+                     " (ray-sharded DP: image height split across the "
+                     "mesh, trajectory == single-chip at this batch size)"
+                     if shard_rays else "")
 
     # Under a mesh, commit every batch per-device at creation (leading axis
     # sharded over the mesh) instead of staging it on device 0 and letting
@@ -160,7 +168,7 @@ def run_training(args, mesh=None):
     sharding = None
     if mesh is not None:
         from keras_nerf_tpu.parallel import batch_sharding
-        sharding = batch_sharding(mesh)
+        sharding = batch_sharding(mesh, shard_rays=shard_rays)
 
     dataset_loader = DatasetLoader(
         args.data_dir, args.white_bg,
@@ -231,6 +239,7 @@ def run_training(args, mesh=None):
         occupancy_train_until=getattr(args, 'occupancy_train_until', 0),
         pixel_sampling=getattr(args, 'pixel_sampling', False),
         debug_grads=getattr(args, 'debug_grads', False),
+        shard_rays=shard_rays,
         near=args.near, far=args.far,
     )
 
