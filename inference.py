@@ -63,11 +63,13 @@ def main():
                         help='OPT-IN approximation: the fine pass evaluates '
                              'this many importance samples only (no coarse-'
                              'sample merge). 0 = exact reference math. '
-                             'PSNR cost is checkpoint-dependent — measured '
-                             'up to -1.4 dB at 96 samples on a sharp '
-                             'checkpoint (frontier table, docs/QUALITY.md); '
-                             'prefer --occupancy_grid, which measured at or '
-                             'above exact quality')
+                             'PSNR cost is checkpoint- and scene-dependent '
+                             '— measured -1.4 dB at 96 samples on a sharp '
+                             'easy-scene checkpoint and -2.7 dB on the '
+                             'adversarial hard scene (frontier tables, '
+                             'docs/QUALITY.md); --quantized_render is the '
+                             'only tier whose measured cost stayed under '
+                             '0.16 dB on both scenes')
     parser.add_argument('--quantized_render', action='store_true',
                         help='OPT-IN int8 render tier: W8A8 MXU matmuls '
                              'with static scales calibrated on the first '
@@ -79,11 +81,14 @@ def main():
                         help='OPT-IN: bake a G^3 occupancy grid from the '
                              'trained model and render with empty-space '
                              'skipping (fine model only, --occupancy_samples '
-                             'MLP evals/ray). 0 = off. A 128 grid with '
-                             'K=64 samples measured ABOVE exact-math PSNR '
-                             'at 1.8x its speed (frontier table, '
-                             'docs/QUALITY.md). Composes with '
-                             '--num_gpus (height-band mesh render)')
+                             'MLP evals/ray). 0 = off. ~2x exact-math speed '
+                             'at a SCENE-DEPENDENT PSNR delta: a 128 grid '
+                             'with K=64 measured +0.3 dB on the easy '
+                             'spheres scene but -1.7 dB on the adversarial '
+                             'hard scene (frontier tables, docs/QUALITY.md '
+                             '— check on a held-out split before trusting '
+                             'it). Composes with --num_gpus (height-band '
+                             'mesh render)')
     parser.add_argument('--occupancy_samples', type=int, default=64)
     parser.add_argument('--occupancy_aabb', type=float, nargs=6,
                         default=None, metavar=('X0', 'Y0', 'Z0',

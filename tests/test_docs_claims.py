@@ -20,6 +20,14 @@ RETIRED = [
     ("at no psnr cost", "same"),
     ("64 is the measured sweet spot", "the 128^3 grid measured best "
                                       "(docs/QUALITY.md frontier)"),
+    # Round 4: the hard-scene frontier flipped the occupancy tier's sign
+    # (+0.28 dB easy -> -1.7 dB hard at K=64); any unqualified claim that
+    # the grid renders at-or-above exact quality is retired.
+    ("above exact quality", "occupancy K=64 measured -1.7 dB on the "
+                            "adversarial hard scene (docs/QUALITY.md "
+                            "hard-scene frontier)"),
+    ("above exact-math psnr", "same"),
+    ("at or above exact", "same"),
 ]
 
 USER_FACING = ["inference.py", "train.py", "train_single.py", "bench.py",
