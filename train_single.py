@@ -98,7 +98,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'coarse/importance merge (NerfAcc-style '
                              'empty-space skipping; the coarse pass and '
                              'all eval metrics keep exact reference math). '
-                             '0 = off; 128 recommended')
+                             '0 = off; 128 recommended. Quality cost is '
+                             'SCENE-DEPENDENT: measured -0.2 to -0.4 dB '
+                             'test on the easy spheres scene but -2.6 dB '
+                             'on the adversarial hard scene (thin sub-voxel '
+                             'geometry; docs/QUALITY.md) — compare exact '
+                             'val PSNR before committing a long run, or '
+                             'use --occupancy_train_until')
     parser.add_argument('--occupancy_train_samples', type=int, default=64)
     parser.add_argument('--occupancy_train_warmup', type=int, default=2)
     parser.add_argument('--occupancy_train_probe', type=int, default=64,
