@@ -100,6 +100,14 @@ def main():
     parser.add_argument('--sigma_threshold', type=float, default=1.0,
                         help='density threshold for a voxel to count as '
                              'occupied when baking the grid')
+    parser.add_argument('--occupancy_dilate', type=int, default=1,
+                        help='binary dilation iterations applied to the '
+                             'baked grid (6-neighbourhood). Raise to 2-3 '
+                             'on scenes with thin/sub-voxel geometry so '
+                             'the occupied shell still covers structures '
+                             'narrower than one voxel (docs/QUALITY.md '
+                             'hard-scene frontier); costs sampling more '
+                             'empty space')
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
 
@@ -179,7 +187,8 @@ def main():
                 '--occupancy_aabb for scenes outside Blender scale '
                 '(geometry outside the box renders as background)')
         nerf.bake_occupancy(args.occupancy_grid,
-                            sigma_threshold=args.sigma_threshold, aabb=aabb)
+                            sigma_threshold=args.sigma_threshold, aabb=aabb,
+                            dilate=args.occupancy_dilate)
 
     frames, depth_frames = [], []
     key = jax.random.PRNGKey(42)

@@ -91,6 +91,7 @@ class NeRF:
                 occupancy_train_threshold: float = 1.0,
                 occupancy_train_probe: int = 64,
                 occupancy_train_until: int = 0,
+                occupancy_train_dilate: int = 1,
                 pixel_sampling: bool = False,
                 debug_grads: bool = False,
                 shard_rays: bool = False,
@@ -192,6 +193,7 @@ class NeRF:
                 "occupancy_train_merge": bool(occupancy_train_merge),
                 "occupancy_train_warmup": int(occupancy_train_warmup),
                 "occupancy_train_until": int(occupancy_train_until),
+                "occupancy_train_dilate": int(occupancy_train_dilate),
             }
             if self.model_path is not None and self.state is None:
                 checkpoint.warn_train_config_mismatch(
@@ -232,7 +234,8 @@ class NeRF:
                 warmup=max(0, int(occupancy_train_warmup)),
                 update=max(1, int(occupancy_train_update)),
                 threshold=float(occupancy_train_threshold),
-                until=max(0, int(occupancy_train_until)))
+                until=max(0, int(occupancy_train_until)),
+                dilate=max(0, int(occupancy_train_dilate)))
             # Probe count trades residual probe-gather cost (the tier's
             # only remaining non-kernel cost, ~2.7 ms per 4096-ray chunk
             # at 64 — scripts/profile_occtrain.py) against bin
@@ -367,7 +370,7 @@ class NeRF:
                                            self.config)
         grid = occ_mod.bake_occupancy_grid(
             density, cfg["grid_size"], occ_mod.DEFAULT_AABB,
-            cfg["threshold"], dilate=1)
+            cfg["threshold"], dilate=cfg["dilate"])
         if self.mesh is not None:
             from keras_nerf_tpu.parallel import replicate
             grid = replicate(grid, self.mesh)

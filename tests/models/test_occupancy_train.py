@@ -139,6 +139,38 @@ def test_occupancy_train_probe_flag_plumbs_through():
     assert np.isfinite(hist[-1]["fine_loss"])
 
 
+def test_occupancy_train_dilate_flag_plumbs_through():
+    """compile(occupancy_train_dilate=k) must reach the per-epoch bake
+    (grid shell widened k voxels — the thin-geometry knob, QUALITY.md
+    hard-scene A/B) and the persisted train_config (resume drift
+    warning)."""
+    from keras_nerf_tpu.models import NeRF
+
+    batches = [_batch(2, 8, 8, 8, seed=0)]
+
+    def build(dilate):
+        model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                     n_layers=2, dense_units=16, skip_layer=1)
+        model.compile(batch_size=2, image_height=8, image_width=8,
+                      ray_chunks=128, occupancy_train=16,
+                      occupancy_train_samples=8, occupancy_train_warmup=0,
+                      occupancy_train_dilate=dilate, near=2.0, far=6.0)
+        return model
+
+    m1, m3 = build(1), build(3)
+    assert m1._occ_train_cfg["dilate"] == 1
+    assert m3._occ_train_cfg["dilate"] == 3
+    assert m3._train_config["occupancy_train_dilate"] == 3
+    m1.fit(batches, epochs=1, verbose=False)
+    m3.fit(batches, epochs=1, verbose=False)
+    g1, g3 = m1._occ_train_grid, m3._occ_train_grid
+    assert g1 is not None and g3 is not None
+    # Same weights init/seed -> same raw bake; more dilation can only
+    # mark more voxels occupied (strictly more unless already saturated).
+    assert float(g3.sum()) >= float(g1.sum())
+    assert float((g3 - g1).min()) >= 0.0
+
+
 def test_nerf_fit_occupancy_train_under_mesh():
     """NeRF.fit with occupancy_train on the fake mesh: the per-epoch bake
     replicates the grid and the occ step runs sharded (the train.py

@@ -36,6 +36,24 @@ def test_bake_marks_the_sphere(grid):
     assert float(grid[0, 0, 0]) == 0.0
 
 
+def test_dilate_iterations_grow_the_shell():
+    """`dilate=k` is a k-step 6-neighbourhood dilation: a single occupied
+    voxel becomes the L1 ball of radius k (|dx|+|dy|+|dz| <= k). This is
+    the `--occupancy_train_dilate` contract: k voxels of slack around
+    thin/sub-voxel geometry (docs/QUALITY.md hard-scene A/B)."""
+    from keras_nerf_tpu.ops.occupancy import dilate_occupancy
+
+    occ = jnp.zeros((9, 9, 9), jnp.float32).at[4, 4, 4].set(1.0)
+    # |L1 ball of radius k| = 1, 7, 25 for k = 0, 1, 2.
+    assert float(dilate_occupancy(occ, 0).sum()) == 1.0
+    one = dilate_occupancy(occ, 1)
+    assert float(one.sum()) == 7.0
+    two = dilate_occupancy(occ, 2)
+    assert float(two.sum()) == 25.0
+    # Dilation only grows: every voxel of the smaller shell survives.
+    assert float((two - one).min()) == 0.0
+
+
 def test_samples_land_inside_occupied_span(grid):
     # Rays from (0, 0, 4) looking along -z hit the sphere for t in [3, 5].
     r = 8

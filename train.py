@@ -105,6 +105,10 @@ def main():
                         help='hybrid schedule: occupancy-placed fine '
                              'samples until this epoch, exact math after '
                              '(see train_single.py). 0 = whole run')
+    parser.add_argument('--occupancy_train_dilate', type=int, default=1,
+                        help='dilation iterations for the baked training '
+                             'grid; raise to 2-3 on thin/sub-voxel '
+                             'geometry (see train_single.py)')
     parser.add_argument('--debug_grads', action='store_true',
                         help='per-variable gradient-norm diagnostics '
                              '(see train_single.py); debug only')

@@ -103,8 +103,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'test on the easy spheres scene but -2.6 dB '
                              'on the adversarial hard scene (thin sub-voxel '
                              'geometry; docs/QUALITY.md) — compare exact '
-                             'val PSNR before committing a long run, or '
-                             'use --occupancy_train_until')
+                             'val PSNR before committing a long run. On '
+                             'thin geometry the hybrid schedule does NOT '
+                             'recover the gap (measured −2.44 dB); try '
+                             '--occupancy_train_dilate 2+ or exact math')
     parser.add_argument('--occupancy_train_samples', type=int, default=64)
     parser.add_argument('--occupancy_train_warmup', type=int, default=2)
     parser.add_argument('--occupancy_train_probe', type=int, default=64,
@@ -117,8 +119,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'samples until this epoch, exact reference '
                              'math afterwards (the lr-decay tail is where '
                              'the last fraction of a dB lives — '
-                             'docs/QUALITY.md). 0 = occupancy for the '
-                             'whole run')
+                             'docs/QUALITY.md; measured −0.10 dB at 1.49× '
+                             'on the easy 256² scene, but does NOT rescue '
+                             'thin geometry: −2.44 dB on the hard scene). '
+                             '0 = occupancy for the whole run')
+    parser.add_argument('--occupancy_train_dilate', type=int, default=1,
+                        help='binary dilation iterations applied to the '
+                             'baked training grid (6-neighbourhood). '
+                             'Raise to 2-3 on scenes with thin/sub-voxel '
+                             'geometry: widens the occupied shell so the '
+                             'grid-placed samples can still see structures '
+                             'narrower than one voxel, at the cost of '
+                             'sampling more empty space')
     parser.add_argument('--occupancy_train_no_merge', action='store_true',
                         help='do NOT rank-merge the stratified coarse '
                              'depths into the occupancy fine pass '
@@ -243,6 +255,7 @@ def run_training(args, mesh=None):
         occupancy_train_merge=not getattr(args, 'occupancy_train_no_merge',
                                           False),
         occupancy_train_until=getattr(args, 'occupancy_train_until', 0),
+        occupancy_train_dilate=getattr(args, 'occupancy_train_dilate', 1),
         pixel_sampling=getattr(args, 'pixel_sampling', False),
         debug_grads=getattr(args, 'debug_grads', False),
         shard_rays=shard_rays,
