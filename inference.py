@@ -85,7 +85,9 @@ def main():
                              'at a SCENE-DEPENDENT PSNR delta: a 128 grid '
                              'with K=64 measured +0.3 dB on the easy '
                              'spheres scene but -1.7 dB on the adversarial '
-                             'hard scene (frontier tables, docs/QUALITY.md '
+                             'hard scene at --occupancy_dilate 1; dilate=2 '
+                             'recovers the hard scene to -0.2 dB at the '
+                             'same fps (frontier tables, docs/QUALITY.md '
                              '— check on a held-out split before trusting '
                              'it). Composes with --num_gpus (height-band '
                              'mesh render)')
@@ -105,9 +107,10 @@ def main():
                              'baked grid (6-neighbourhood). Raise to 2-3 '
                              'on scenes with thin/sub-voxel geometry so '
                              'the occupied shell still covers structures '
-                             'narrower than one voxel (docs/QUALITY.md '
-                             'hard-scene frontier); costs sampling more '
-                             'empty space')
+                             'narrower than one voxel: measured on the '
+                             'hard scene, dilate=2 moves occ K=64 from '
+                             '-1.72 to -0.20 dB at the same fps '
+                             '(docs/QUALITY.md hard-scene frontier)')
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
 

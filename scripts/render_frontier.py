@@ -61,6 +61,13 @@ def main():
     ap.add_argument("--bench_wh", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--occ_grid", type=int, default=128)
+    ap.add_argument("--occ_dilate", type=int, default=1,
+                    help="occupancy-grid dilation iterations (matches "
+                         "inference.py --occupancy_dilate); >1 widens the "
+                         "occupied shell for thin-geometry scenes")
+    ap.add_argument("--tiers", default="",
+                    help="substring filter: measure only tiers whose name "
+                         "contains this (e.g. 'occ'); default all")
     # Anchored to the repo: background shells start OUTSIDE it (CLAUDE.md),
     # and a cwd-relative default would crash only AFTER the full sweep.
     ap.add_argument("--out_json",
@@ -70,6 +77,15 @@ def main():
                     default=os.path.join(_REPO, "assets",
                                          "render_frontier.png"))
     args = ap.parse_args()
+    if args.tiers or args.occ_dilate != 1:
+        # A filtered/non-default sweep must not clobber the canonical
+        # full-frontier record at the default paths.
+        suffix = f"_{args.tiers or 'all'}_d{args.occ_dilate}"
+        for attr in ("out_json", "out_png"):
+            path = getattr(args, attr)
+            if path == ap.get_default(attr):
+                stem, ext = os.path.splitext(path)
+                setattr(args, attr, stem + suffix + ext)
     for p in (args.out_json, args.out_png):
         os.makedirs(os.path.dirname(os.path.abspath(p)), exist_ok=True)
 
@@ -121,9 +137,10 @@ def main():
     density = occ_mod.model_density_fn(pf, base)
     occ_grid = occ_mod.bake_occupancy_grid(
         density, args.occ_grid, occ_mod.DEFAULT_AABB,
-        sigma_threshold=1.0, dilate=1)
+        sigma_threshold=1.0, dilate=args.occ_dilate)
     occ_frac = 100.0 * float(jnp.mean(occ_grid))
-    print(f"occupancy grid {args.occ_grid}^3: {occ_frac:.1f}% occupied")
+    print(f"occupancy grid {args.occ_grid}^3 (dilate={args.occ_dilate}): "
+          f"{occ_frac:.1f}% occupied")
 
     def occ_psnr(k_samples, fine_q=None):
         render = jax.jit(lambda r, k: occ_mod.render_image_batch_occ(
@@ -175,10 +192,20 @@ def main():
          lambda: occ_psnr(32, pq[1]), lambda: occ_fps(32, pq[1])),
     ]
 
+    if args.tiers:
+        tiers = [t for t in tiers if args.tiers in t[0]]
+        if not tiers:
+            raise SystemExit(f"--tiers {args.tiers!r} matches no tier")
+
     rows = []
     print(f"{'tier':24s} {'test PSNR (dB)':>16s} "
           f"{'fps @' + str(args.bench_wh) + '^2':>12s}")
+    # Delta column is always vs exact reference math, even when the filter
+    # excludes the exact tier from the fps sweep.
     base_psnr = None
+    if args.tiers and not any(n == "f32 exact" for n, *_ in tiers):
+        base_psnr = eval_psnr(cfg(0), None)
+        print(f"{'f32 exact (ref only)':24s} {base_psnr:11.3f} ({0.0:+.3f})")
     for name, family, f_psnr, f_fps in tiers:
         p = f_psnr()
         f = f_fps()

@@ -105,8 +105,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'geometry; docs/QUALITY.md) — compare exact '
                              'val PSNR before committing a long run. On '
                              'thin geometry the hybrid schedule does NOT '
-                             'recover the gap (measured −2.44 dB); try '
-                             '--occupancy_train_dilate 2+ or exact math')
+                             'recover the gap (measured −2.44 dB) and '
+                             '--occupancy_train_dilate 2 recovers only '
+                             '+0.36 dB (−2.28 net) — prefer exact math')
     parser.add_argument('--occupancy_train_samples', type=int, default=64)
     parser.add_argument('--occupancy_train_warmup', type=int, default=2)
     parser.add_argument('--occupancy_train_probe', type=int, default=64,
@@ -130,7 +131,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'geometry: widens the occupied shell so the '
                              'grid-placed samples can still see structures '
                              'narrower than one voxel, at the cost of '
-                             'sampling more empty space')
+                             'sampling more empty space. Measured on the '
+                             'hard scene: dilate=2 recovers +0.36 dB of '
+                             'the -2.64 dB occ-train gap at ~the same '
+                             'speed (docs/QUALITY.md)')
     parser.add_argument('--occupancy_train_no_merge', action='store_true',
                         help='do NOT rank-merge the stratified coarse '
                              'depths into the occupancy fine pass '
