@@ -99,15 +99,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'empty-space skipping; the coarse pass and '
                              'all eval metrics keep exact reference math). '
                              '0 = off; 128 recommended. Quality cost is '
-                             'SCENE-DEPENDENT: measured -0.2 to -0.4 dB '
-                             'test on the easy spheres scene but -2.6 dB '
-                             'on the adversarial hard scene (thin sub-voxel '
-                             'geometry; docs/QUALITY.md) — compare exact '
-                             'val PSNR before committing a long run. On '
-                             'thin geometry the hybrid schedule does NOT '
-                             'recover the gap (measured −2.44 dB) and '
-                             '--occupancy_train_dilate 2 recovers only '
-                             '+0.36 dB (−2.28 net) — prefer exact math')
+                             'SCENE- and LR-RECIPE-DEPENDENT: measured '
+                             '-0.2 to -0.4 dB test on the easy spheres '
+                             'scene; on the adversarial hard scene (thin '
+                             'sub-voxel geometry) -2.6 dB under an '
+                             'easy-scene-tuned decaying lr but only '
+                             '-0.23 dB with --occupancy_train_dilate 2 '
+                             'under a scene-appropriate constant lr '
+                             '(docs/QUALITY.md hard-scene A/B) — tune the '
+                             'lr recipe for the scene and compare exact '
+                             'val PSNR before committing a long run')
     parser.add_argument('--occupancy_train_samples', type=int, default=64)
     parser.add_argument('--occupancy_train_warmup', type=int, default=2)
     parser.add_argument('--occupancy_train_probe', type=int, default=64,
@@ -121,8 +122,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'math afterwards (the lr-decay tail is where '
                              'the last fraction of a dB lives — '
                              'docs/QUALITY.md; measured −0.10 dB at 1.49× '
-                             'on the easy 256² scene, but does NOT rescue '
-                             'thin geometry: −2.44 dB on the hard scene). '
+                             'on the easy 256² scene; on thin geometry '
+                             'fixing the lr recipe matters far more than '
+                             'the hybrid tail — see the hard-scene A/B). '
                              '0 = occupancy for the whole run')
     parser.add_argument('--occupancy_train_dilate', type=int, default=1,
                         help='binary dilation iterations applied to the '
@@ -132,9 +134,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'grid-placed samples can still see structures '
                              'narrower than one voxel, at the cost of '
                              'sampling more empty space. Measured on the '
-                             'hard scene: dilate=2 recovers +0.36 dB of '
-                             'the -2.64 dB occ-train gap at ~the same '
-                             'speed (docs/QUALITY.md)')
+                             'hard scene: with a scene-appropriate '
+                             'constant lr, dilate=2 brings the tier to '
+                             '-0.23 dB vs exact at 1.53x the step rate '
+                             '(docs/QUALITY.md hard-scene A/B)')
     parser.add_argument('--occupancy_train_no_merge', action='store_true',
                         help='do NOT rank-merge the stratified coarse '
                              'depths into the occupancy fine pass '
