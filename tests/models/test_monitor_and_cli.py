@@ -382,3 +382,46 @@ def test_evaluate_rebatches_small_dataset(scene):
                   ray_chunks=512)
     metrics = model.evaluate(test)
     assert metrics["fine_psnr"] != 0.0
+
+
+def test_eval_checkpoint_script(tmp_path, scene, capsys, monkeypatch):
+    """scripts/eval_checkpoint.py reproduces train_single's final-test
+    evaluation for a saved model dir (used for post-hoc A/B arms,
+    e.g. the hard-scene lr study in docs/QUALITY.md)."""
+    import importlib.util
+    import json as _json
+
+    sys.path.insert(0, REPO)
+    from train_single import build_arg_parser, run_training
+
+    args = build_arg_parser().parse_args([
+        "--name", "evalck", "--data_dir", scene, "--img_wh", "16",
+        "--num_coarse_samples", "8", "--num_fine_samples", "8",
+        "--num_layers", "2", "--num_units", "16", "--skip_layer", "1",
+        "--num_epochs", "1", "--batch_size", "2", "--ray_chunks", "512",
+        "--white_bg",
+        "--log_dir", str(tmp_path / "logs"),
+        "--model_dirs", str(tmp_path / "models"),
+    ])
+    nerf = run_training(args)
+    _, _, test = DatasetLoader(scene, True).load_dataset(
+        batch_size=1, image_width=16, image_height=16,
+        near=2.0, far=6.0, n_sample=8)
+    expected = nerf.evaluate(test)
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_checkpoint", os.path.join(REPO, "scripts",
+                                        "eval_checkpoint.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "eval_checkpoint.py",
+        "--model_path", str(tmp_path / "models" / "evalck"),
+        "--data_dir", scene, "--img_wh", "16", "--white_bg",
+        "--ray_chunks", "512",
+    ])
+    mod.main()
+    record = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["split"] == "test"
+    for k in ("coarse_psnr", "fine_psnr", "coarse_ssim", "fine_ssim"):
+        assert abs(record[k] - float(expected[k])) < 1e-2, (k, record)
