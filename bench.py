@@ -45,7 +45,10 @@ def _mfu(flops_per_sec, args):
     for the default 8x256-MLP bf16 config on a TPU backend (the padded-FLOP
     constants above are shape-specific); returns None otherwise so perf
     regressions show as a ratio that doesn't drift with config."""
-    if args.fp32 or jax.devices()[0].platform == "cpu":
+    if (args.fp32 or getattr(args, "xla", False)
+            or jax.devices()[0].platform == "cpu"):
+        # --xla runs a different (unpadded) FLOP mix than the Pallas-kernel
+        # FLOP model the constants describe.
         return None
     return round(flops_per_sec / V5E_BF16_PEAK_FLOPS, 3)
 

@@ -818,8 +818,17 @@ def eval_step(
     ray_chunks: int,
     axis_name: str | None = None,
     loss_fn=None,
+    gather_images: bool = False,
 ) -> dict:
-    """Chunked full inference + metrics (`NeRF.test_step`, `nerf.py:475-497`)."""
+    """Chunked full inference + metrics (`NeRF.test_step`, `nerf.py:475-497`).
+
+    ``gather_images=True`` (ray-sharded DP): each device rendered only a
+    height BAND of every image, but PSNR/SSIM are whole-image metrics — a
+    pmean of per-band values is NOT the single-chip number (Jensen gap on
+    PSNR, conv-clipped windows on SSIM). All-gather the bands back into
+    full images first (tiny: one [B, H, W, 3] collective per model), so
+    reported eval quality is exactly comparable to unsharded runs.
+    """
     if loss_fn is None:
         loss_fn = mse_loss
     # Eval metrics always use the exact reference math (comparable PSNR).
@@ -831,10 +840,16 @@ def eval_step(
     out_c, out_f = render_image_batch(
         state.coarse_params, state.fine_params, rays, key, config, ray_chunks,
         with_weights=False)
-    loss_c = loss_fn(target, out_c["image"])
-    loss_f = loss_fn(target, out_f["image"])
-    metrics = _batch_metrics(out_c["image"], out_f["image"], target,
-                             loss_c, loss_f)
+    img_c, img_f = out_c["image"], out_f["image"]
+    if gather_images and axis_name is not None:
+        img_c = jax.lax.all_gather(img_c, axis_name, axis=1, tiled=True)
+        img_f = jax.lax.all_gather(img_f, axis_name, axis=1, tiled=True)
+        target = jax.lax.all_gather(target, axis_name, axis=1, tiled=True)
+    loss_c = loss_fn(target, img_c)
+    loss_f = loss_fn(target, img_f)
+    metrics = _batch_metrics(img_c, img_f, target, loss_c, loss_f)
     if axis_name is not None:
+        # No-op when images were gathered (identical replicas); the real
+        # cross-device mean for the batch-sharded layout.
         metrics = jax.lax.pmean(metrics, axis_name)
     return metrics

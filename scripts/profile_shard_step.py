@@ -32,6 +32,16 @@ def main():
     p.add_argument("--n", type=int, nargs="*", default=[1, 2, 4, 8],
                    help="device counts to simulate (band height = H/n)")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--ray_chunks", type=int, default=0,
+                   help="chunk size the deployed run uses (train.py "
+                        "defaults to 1024; the measured quality recipes "
+                        "pass 16384); 0 = whole band in one chunk. "
+                        "Chunking changes scan overhead, so measure with "
+                        "the SAME value as the run being estimated")
+    p.add_argument("--steps_per_epoch", type=int, default=100,
+                   help="train batches per epoch for the printed epoch "
+                        "estimate (= n_train_images / batch_size; 100 "
+                        "matches the synthetic quality scenes)")
     args = p.parse_args()
 
     from keras_nerf_tpu.data.synthetic import random_ray_batch
@@ -48,7 +58,8 @@ def main():
         rays = h * args.img_wh
         batch = random_ray_batch(1, h, args.img_wh, cfg.n_coarse,
                                  jax.random.PRNGKey(1))
-        step = jax.jit(lambda s, b, k, _rc=rays: engine.train_step(
+        chunks = min(args.ray_chunks, rays) if args.ray_chunks else rays
+        step = jax.jit(lambda s, b, k, _rc=chunks: engine.train_step(
             s, b, k, optimizer=opt, config=cfg, ray_chunks=_rc))
         key = jax.random.PRNGKey(2)
         out = None
@@ -61,8 +72,10 @@ def main():
         float(out[1]["fine_loss"])
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"band 1/{n}: [{1}x{h}x{args.img_wh}] = {rays:6d} rays  "
-              f"step {ms:7.2f} ms  ({rays / ms * 1e3:,.0f} rays/s/device, "
-              f"{n}-chip epoch ~ {100 * ms / 1e3:.1f} s + eval)")
+              f"chunks {chunks}  step {ms:7.2f} ms  "
+              f"({rays / ms * 1e3:,.0f} rays/s/device, "
+              f"{n}-chip epoch ~ "
+              f"{args.steps_per_epoch * ms / 1e3:.1f} s + eval)")
 
 
 if __name__ == "__main__":

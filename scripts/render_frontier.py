@@ -133,16 +133,24 @@ def main():
             warmup=3, iters=args.iters)
         return float(bench_mod.bench_render(ns)["value"])
 
-    # --- occupancy tier -----------------------------------------------------
-    density = occ_mod.model_density_fn(pf, base)
-    occ_grid = occ_mod.bake_occupancy_grid(
-        density, args.occ_grid, occ_mod.DEFAULT_AABB,
-        sigma_threshold=1.0, dilate=args.occ_dilate)
-    occ_frac = 100.0 * float(jnp.mean(occ_grid))
-    print(f"occupancy grid {args.occ_grid}^3 (dilate={args.occ_dilate}): "
-          f"{occ_frac:.1f}% occupied")
+    # --- occupancy tier (baked lazily: --tiers filters that exclude every
+    # occ tier must not pay the dense density sweep on the TPU) ------------
+    _setup_cache = {}
+
+    def get_occ_grid():
+        if "occ_grid" not in _setup_cache:
+            density = occ_mod.model_density_fn(pf, base)
+            grid = occ_mod.bake_occupancy_grid(
+                density, args.occ_grid, occ_mod.DEFAULT_AABB,
+                sigma_threshold=1.0, dilate=args.occ_dilate)
+            print(f"occupancy grid {args.occ_grid}^3 "
+                  f"(dilate={args.occ_dilate}): "
+                  f"{100.0 * float(jnp.mean(grid)):.1f}% occupied")
+            _setup_cache["occ_grid"] = grid
+        return _setup_cache["occ_grid"]
 
     def occ_psnr(k_samples, fine_q=None):
+        occ_grid = get_occ_grid()
         render = jax.jit(lambda r, k: occ_mod.render_image_batch_occ(
             pf, r, occ_grid, k, base, n_samples=k_samples,
             ray_chunks=args.ray_chunks, packed_q=fine_q)["image"])
@@ -153,6 +161,7 @@ def main():
         return float(np.mean(vals))
 
     def occ_fps(k_samples, fine_q=None):
+        occ_grid = get_occ_grid()
         ck = min(8192, args.bench_wh * args.bench_wh)
         render = jax.jit(lambda r, k: occ_mod.render_image_batch_occ(
             pf, r, occ_grid, k, base, n_samples=k_samples,
@@ -160,10 +169,15 @@ def main():
         return bench_fps(render)
 
     # one calibration shared by all int8 tiers (exact coarse+merged fine
-    # distributions; fast_render does not change them)
-    _, rays0 = next(iter(test))
-    pq = jax.jit(lambda a, b, r, k: engine.quantize_render_params(
-        a, b, r, k, base))(pc, pf, rays0, key)
+    # distributions; fast_render does not change them) — also lazy, for
+    # --tiers filters that exclude every int8 tier.
+    def get_pq():
+        if "pq" not in _setup_cache:
+            _, rays0 = next(iter(test))
+            _setup_cache["pq"] = jax.jit(
+                lambda a, b, r, k: engine.quantize_render_params(
+                    a, b, r, k, base))(pc, pf, rays0, key)
+        return _setup_cache["pq"]
 
     def cfg(fast):
         return dataclasses.replace(base, fast_render=fast)
@@ -173,23 +187,25 @@ def main():
         ("f32 exact", "f32",
          lambda: eval_psnr(cfg(0), None), lambda: std_fps(0, False)),
         ("int8 exact-sampling", "int8",
-         lambda: eval_psnr(cfg(0), pq), lambda: std_fps(0, True)),
+         lambda: eval_psnr(cfg(0), get_pq()), lambda: std_fps(0, True)),
         ("f32 fast_render=96", "f32",
          lambda: eval_psnr(cfg(96), None), lambda: std_fps(96, False)),
         ("int8 fast_render=96", "int8",
-         lambda: eval_psnr(cfg(96), pq), lambda: std_fps(96, True)),
+         lambda: eval_psnr(cfg(96), get_pq()), lambda: std_fps(96, True)),
         ("f32 fast_render=64", "f32",
          lambda: eval_psnr(cfg(64), None), lambda: std_fps(64, False)),
         ("int8 fast_render=64", "int8",
-         lambda: eval_psnr(cfg(64), pq), lambda: std_fps(64, True)),
+         lambda: eval_psnr(cfg(64), get_pq()), lambda: std_fps(64, True)),
         ("occupancy K=64", "occupancy",
          lambda: occ_psnr(64), lambda: occ_fps(64)),
         ("occupancy K=32", "occupancy",
          lambda: occ_psnr(32), lambda: occ_fps(32)),
         ("int8 occ K=64", "int8+occ",
-         lambda: occ_psnr(64, pq[1]), lambda: occ_fps(64, pq[1])),
+         lambda: occ_psnr(64, get_pq()[1]),
+         lambda: occ_fps(64, get_pq()[1])),
         ("int8 occ K=32", "int8+occ",
-         lambda: occ_psnr(32, pq[1]), lambda: occ_fps(32, pq[1])),
+         lambda: occ_psnr(32, get_pq()[1]),
+         lambda: occ_fps(32, get_pq()[1])),
     ]
 
     if args.tiers:

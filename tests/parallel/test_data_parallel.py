@@ -438,3 +438,60 @@ def test_nerf_class_with_mesh(cfg):
     assert np.isfinite(metrics["fine_loss"])
     metrics = model.test_step(batch)
     assert np.isfinite(metrics["fine_psnr"])
+
+
+def test_shard_rays_eval_metrics_are_whole_image(cfg, monkeypatch):
+    """Under ray-sharded DP, eval PSNR/SSIM must be computed on reassembled
+    WHOLE images, not pmean'd over per-band values (Jensen gap on PSNR,
+    conv-clipped windows on SSIM) — otherwise sharded eval numbers are not
+    comparable to single-chip runs (the exact claim --shard_rays carries).
+
+    Pins the mechanism with a deterministic fake renderer: band-gathered
+    metrics must equal host-computed whole-image metrics and differ from
+    the band-mean values.
+    """
+    mesh = make_mesh(8)
+    b, h, w = 2, 16, 16
+    batch = make_batch(b, h, w, cfg.n_coarse, seed=7)
+    images, rays = batch
+    target = np.asarray(images[..., :3])
+
+    def fake_render(pc, pf, rays_in, key, config, ray_chunks,
+                    with_weights=False, **kw):
+        # Deterministic "render" derived from the rays the device holds:
+        # wrong in a spatially varying way so per-band PSNR != whole-image.
+        d = rays_in[1]
+        img_c = jnp.clip(d * 0.5 + 0.5, 0.0, 1.0)
+        img_f = jnp.clip(d * 0.45 + 0.5, 0.0, 1.0)
+        return ({"image": img_c}, {"image": img_f})
+
+    monkeypatch.setattr(engine, "render_image_batch", fake_render)
+
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    state = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh, shard_rays=True)
+    ev = jax.jit(sharded_eval_step(mesh, cfg, ray_chunks=64,
+                                   shard_rays=True))
+    got = {k: float(v) for k, v in
+           ev(state, sharded, jax.random.PRNGKey(3)).items()}
+
+    # Host-side whole-image expectation through the same metric fns.
+    d_full = np.asarray(rays[1])
+    img_c = np.clip(d_full * 0.5 + 0.5, 0.0, 1.0)
+    img_f = np.clip(d_full * 0.45 + 0.5, 0.0, 1.0)
+    expect = engine._batch_metrics(
+        jnp.asarray(img_c), jnp.asarray(img_f), jnp.asarray(target),
+        engine.mse_loss(jnp.asarray(target), jnp.asarray(img_c)),
+        engine.mse_loss(jnp.asarray(target), jnp.asarray(img_f)))
+    for k, v in expect.items():
+        assert abs(got[k] - float(v)) < 1e-4, (k, got[k], float(v))
+
+    # And the whole-image SSIM genuinely differs from the band-mean value
+    # (i.e. the gather is load-bearing, not a numerical no-op).
+    band_ssims = [
+        float(jnp.mean(engine.ssim_fn(
+            jnp.asarray(img_f[:, i * 2:(i + 1) * 2]),
+            jnp.asarray(target[:, i * 2:(i + 1) * 2]))))
+        for i in range(8)]
+    assert abs(np.mean(band_ssims) - got["fine_ssim"]) > 1e-3
