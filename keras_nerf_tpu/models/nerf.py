@@ -192,6 +192,7 @@ class NeRF:
                 "occupancy_train_samples": int(occupancy_train_samples),
                 "occupancy_train_merge": bool(occupancy_train_merge),
                 "occupancy_train_warmup": int(occupancy_train_warmup),
+                "occupancy_train_update": int(occupancy_train_update),
                 "occupancy_train_until": int(occupancy_train_until),
                 "occupancy_train_dilate": int(occupancy_train_dilate),
             }

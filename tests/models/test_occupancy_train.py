@@ -192,6 +192,39 @@ def test_nerf_fit_occupancy_train_under_mesh():
     assert np.isfinite(hist[-1]["fine_loss"])
 
 
+def test_occupancy_train_update_cadence():
+    """--occupancy_train_update N: the grid is re-baked only every N
+    epochs after the warmup bake (NerfAcc periodic update), and the knob
+    is persisted in train_config for the resume drift warning."""
+    from keras_nerf_tpu.models import NeRF
+
+    batches = [_batch(2, 8, 8, 8, seed=s) for s in range(2)]
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    model.compile(batch_size=2, image_height=8, image_width=8,
+                  ray_chunks=128, occupancy_train=8,
+                  occupancy_train_samples=8, occupancy_train_warmup=1,
+                  occupancy_train_update=2, near=2.0, far=6.0)
+    assert model._occ_train_cfg["update"] == 2
+    assert model._train_config["occupancy_train_update"] == 2
+
+    grid_ids = {}
+
+    class Probe:
+        def on_epoch_end(self, epoch, logs):
+            g = model._occ_train_grid
+            grid_ids[epoch] = None if g is None else id(g)
+
+    model.fit(batches, epochs=5, callbacks=[Probe()], verbose=False)
+    # epoch 0: warmup (no grid); 1: first bake; 2: stale (same object);
+    # 3: re-bake ((3-1) % 2 == 0); 4: stale again.
+    assert grid_ids[0] is None
+    assert grid_ids[1] is not None
+    assert grid_ids[2] == grid_ids[1]
+    assert grid_ids[3] is not None and grid_ids[3] != grid_ids[1]
+    assert grid_ids[4] == grid_ids[3]
+
+
 def test_occupancy_train_until_hybrid_schedule():
     """--occupancy_train_until E: grid-placed fine samples until epoch E,
     exact reference math for the decay tail (VERDICT r3 #3). The grid must

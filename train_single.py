@@ -116,6 +116,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              '32 halves the residual probe-gather cost at '
                              'half the bin resolution (grid dilation '
                              'absorbs the placement error)')
+    parser.add_argument('--occupancy_train_update', type=int, default=1,
+                        help='re-bake the training occupancy grid every N '
+                             'epochs (NerfAcc-style periodic update). 1 = '
+                             'every epoch (default). Larger N amortizes '
+                             'the ~0.3 s/epoch bake; the grid goes stale '
+                             'between bakes so the live model can sharpen '
+                             'past it — measure quality before raising on '
+                             'thin-geometry scenes')
     parser.add_argument('--occupancy_train_until', type=int, default=0,
                         help='hybrid schedule: occupancy-placed fine '
                              'samples until this epoch, exact reference '
@@ -261,6 +269,7 @@ def run_training(args, mesh=None):
         occupancy_train_probe=getattr(args, 'occupancy_train_probe', 64),
         occupancy_train_merge=not getattr(args, 'occupancy_train_no_merge',
                                           False),
+        occupancy_train_update=getattr(args, 'occupancy_train_update', 1),
         occupancy_train_until=getattr(args, 'occupancy_train_until', 0),
         occupancy_train_dilate=getattr(args, 'occupancy_train_dilate', 1),
         pixel_sampling=getattr(args, 'pixel_sampling', False),
