@@ -100,6 +100,9 @@ class NeRFDataset:
             perm = np.arange(n)
         for b in range(len(self)):
             idx = perm[b * self.batch_size:(b + 1) * self.batch_size]
+            # Which images this batch holds (batch order) — consumed by
+            # the occupancy probe-row cache (`NeRF._run_train_step`).
+            self.last_indices = idx
             images = jnp.asarray(self.images[idx])
             rays = generate_ray_batch(
                 self.poses[idx],

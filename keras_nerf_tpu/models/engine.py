@@ -596,6 +596,7 @@ def train_step(
     loss_fn=None,
     occupancy: tuple | None = None,
     debug_grads: bool = False,
+    occ_rows: jnp.ndarray | None = None,
 ) -> tuple[TrainState, dict]:
     """One optimizer step over one batch of whole-image rays.
 
@@ -623,6 +624,14 @@ def train_step(
     the fine pass so free space stays supervised (recommended for
     exact-math eval of the trained model). The grid is re-baked OUTSIDE
     the step (a few-ms sweep per epoch — `NeRF.fit`).
+
+    ``occ_rows`` (traced ``[num_rays, n_probe]``, the opt-in
+    ``--occupancy_train_cache`` tier) replaces the per-step grid probe
+    with precomputed probe rows for THIS batch's rays: origins/directions
+    are pose-deterministic and the grid is constant between re-bakes, so
+    the rows are a cacheable constant per image
+    (`ops/occupancy.probe_rows_for_poses`). Bit-identical to the probed
+    path (same bins, same RNG stream); ``occ_grid`` is then unused.
 
     Mirrors `NeRF.train_step` (`nerf.py:332-473`): per-chunk forward+grad for
     coarse and fine (fine's sampling reads stop-gradient coarse weights),
@@ -661,7 +670,8 @@ def train_step(
     )
 
     if occupancy is not None:
-        assert occ_grid is not None, "occupancy training requires occ_grid"
+        assert occ_grid is not None or occ_rows is not None, (
+            "occupancy training requires occ_grid or cached occ_rows")
         from keras_nerf_tpu.ops import occupancy as occ_mod
         occ_n, occ_probe, occ_near, occ_far, occ_aabb, occ_merge = occupancy
         # With the fused kernels, the inverse-CDF over the probe bins (and
@@ -671,23 +681,30 @@ def train_step(
         occ_fuse = (_fused_sampling_ok(config) and occ_probe <= 128
                     and occ_n <= 128
                     and (not occ_merge or config.n_coarse <= 128))
+        if occ_rows is not None:
+            xs = xs + (_chunked(occ_rows.astype(jnp.float32), num_chunks),)
 
-        def occ_probe_bins(oc, dc):
+        def occ_probe_bins(oc, dc, rows):
+            """Probe bins: cached rows when supplied, else the live grid
+            gather — same mids, so the two paths are bit-identical."""
+            if rows is not None:
+                mids = occ_mod.probe_bin_mids(occ_near, occ_far, occ_probe)
+                return jnp.broadcast_to(mids, rows.shape), rows
             return occ_mod.occupancy_along_rays(
                 oc, dc, occ_grid, occ_near, occ_far, occ_probe, occ_aabb)
 
-        def occ_sample_inputs(oc, dc, tc, k):
+        def occ_sample_inputs(oc, dc, tc, k, rows):
             """Fused-prologue sampling inputs: probe bins as the CDF
             source, same RNG stream as `occ_mod.sample_occupied`."""
-            mids, occ = occ_probe_bins(oc, dc)
+            mids, occ = occ_probe_bins(oc, dc, rows)
             u = sorted_uniforms(jax.random.fold_in(k, 7), (oc.shape[0],),
                                 occ_n)
             return (mids, occ, u, tc if occ_merge else None)
 
-        def occ_fine_points(oc, dc, tc, k):
+        def occ_fine_points(oc, dc, tc, k, rows):
             """Fine-pass depths inside the baked grid (optionally
             rank-merged with the stratified coarse depths)."""
-            mids, occ = occ_probe_bins(oc, dc)
+            mids, occ = occ_probe_bins(oc, dc, rows)
             pts = occ_mod.sample_occupied(
                 jax.random.fold_in(k, 7), mids, occ, occ_n)
             return merge_sorted(tc, pts) if occ_merge else pts
@@ -707,13 +724,16 @@ def train_step(
             config.pos_emb_dir)
 
         def body(acc, x):
-            oc, dc, tc, tgt, k = x
+            if occupancy is not None and occ_rows is not None:
+                oc, dc, tc, tgt, k, rows = x
+            else:
+                (oc, dc, tc, tgt, k), rows = x, None
             fp = si = None
             if occupancy is not None:
                 if occ_fuse:
-                    si = occ_sample_inputs(oc, dc, tc, k)
+                    si = occ_sample_inputs(oc, dc, tc, k, rows)
                 else:
-                    fp = occ_fine_points(oc, dc, tc, k)
+                    fp = occ_fine_points(oc, dc, tc, k, rows)
             out_c, out_f = _fused_chunk_pair(
                 packed_c, packed_f, oc, dc, tc, k, config, target=tgt,
                 fine_points=fp, fine_sample_inputs=si)
@@ -754,8 +774,11 @@ def train_step(
         zero_grads = jax.tree.map(jnp.zeros_like, params)
 
         def body(acc, x):
-            oc, dc, tc, tgt, k = x
-            fp = (occ_fine_points(oc, dc, tc, k)
+            if occupancy is not None and occ_rows is not None:
+                oc, dc, tc, tgt, k, rows = x
+            else:
+                (oc, dc, tc, tgt, k), rows = x, None
+            fp = (occ_fine_points(oc, dc, tc, k, rows)
                   if occupancy is not None else None)
             (_, aux), grads = grad_fn(params, oc, dc, tc, tgt, k, fp)
             acc = jax.tree.map(jnp.add, acc, grads)

@@ -92,6 +92,7 @@ class NeRF:
                 occupancy_train_probe: int = 64,
                 occupancy_train_until: int = 0,
                 occupancy_train_dilate: int = 1,
+                occupancy_train_cache: bool = False,
                 pixel_sampling: bool = False,
                 debug_grads: bool = False,
                 shard_rays: bool = False,
@@ -195,6 +196,7 @@ class NeRF:
                 "occupancy_train_update": int(occupancy_train_update),
                 "occupancy_train_until": int(occupancy_train_until),
                 "occupancy_train_dilate": int(occupancy_train_dilate),
+                "occupancy_train_cache": bool(occupancy_train_cache),
             }
             if self.model_path is not None and self.state is None:
                 checkpoint.warn_train_config_mismatch(
@@ -227,6 +229,20 @@ class NeRF:
         # Exact-math steps run during warmup / until the first bake.
         self.occupancy_train = int(occupancy_train) if is_training else 0
         self._occ_train_grid = None
+        self._occ_probe_cache = None
+        self.occupancy_train_cache = (bool(occupancy_train_cache)
+                                      and self.occupancy_train > 0)
+        if self.occupancy_train_cache:
+            if mesh is not None:
+                raise ValueError(
+                    "--occupancy_train_cache is a single-device tier (the "
+                    "cache indexes whole images; under a mesh use the "
+                    "plain grid probe)")
+            if pixel_sampling:
+                raise ValueError(
+                    "--occupancy_train_cache cannot compose with "
+                    "--pixel_sampling (pixel batches scramble the "
+                    "per-image rays the cache is keyed by)")
         train_occ_fn = None
         if self.occupancy_train > 0:
             from keras_nerf_tpu.ops import occupancy as occ_mod
@@ -245,6 +261,7 @@ class NeRF:
                         int(occupancy_train_probe), float(near),
                         float(far), occ_mod.DEFAULT_AABB,
                         bool(occupancy_train_merge))
+            self._occ_spec = occ_spec
             train_occ_fn = partial(engine.train_step,
                                    optimizer=self.optimizer,
                                    config=self.config,
@@ -285,6 +302,21 @@ class NeRF:
         self._train_step = jax.jit(train_fn, donate_argnums=donate)
         self._train_step_occ = (jax.jit(train_occ_fn, donate_argnums=donate)
                                 if train_occ_fn is not None else None)
+        # Probe-row cache tier (--occupancy_train_cache): same step math
+        # with the per-step grid probe replaced by cached rows gathered per
+        # image (engine.train_step occ_rows; bit-identical sampling).
+        self._train_step_occ_rows = None
+        if self.occupancy_train_cache and self._train_step_occ is not None:
+            rows_step = partial(engine.train_step,
+                                optimizer=self.optimizer,
+                                config=self.config,
+                                ray_chunks=self.ray_chunks,
+                                loss_fn=loss_fn, occupancy=self._occ_spec,
+                                debug_grads=self.debug_grads)
+            self._train_step_occ_rows = jax.jit(
+                lambda state, batch, key, rows: rows_step(
+                    state, batch, key, occ_rows=rows),
+                donate_argnums=donate)
         self._eval_step = jax.jit(eval_fn)
         # Mesh fallback for batches the shard_map in_specs cannot split
         # (e.g. a 6-image split on an 8-device mesh): an unsharded eval step
@@ -331,21 +363,32 @@ class NeRF:
 
     # ------------------------------------------------------------------ steps
 
-    def _run_train_step(self, batch, key):
+    def _run_train_step(self, batch, key, indices=None):
         """Dispatch to the occupancy-train step once a grid is baked
-        (warmup and pre-bake epochs run the exact reference math)."""
+        (warmup and pre-bake epochs run the exact reference math). With
+        the probe-row cache built and the batch's image ``indices`` known,
+        the cached-rows step replaces the per-step grid probe
+        (bit-identical sampling — `engine.train_step occ_rows`)."""
         if self._train_step_occ is not None and self._occ_train_grid \
                 is not None:
+            if (self._occ_probe_cache is not None and indices is not None
+                    and self._train_step_occ_rows is not None):
+                rows = jnp.take(self._occ_probe_cache,
+                                jnp.asarray(indices), axis=0)
+                rows = rows.reshape(-1, rows.shape[-1])
+                return self._train_step_occ_rows(self.state, batch, key,
+                                                 rows)
             return self._train_step_occ(self.state, batch, key,
                                         self._occ_train_grid)
         return self._train_step(self.state, batch, key)
 
-    def _maybe_update_occupancy_train(self, epoch: int):
+    def _maybe_update_occupancy_train(self, epoch: int, train_dataset=None):
         """(Re-)bake the training occupancy grid from the CURRENT fine
         model — called at each epoch start by :meth:`fit`. No-op before
         the warmup epoch; re-bakes every ``occupancy_train_update``
         epochs (the model sharpens, the grid must follow — NerfAcc's
-        periodic update)."""
+        periodic update). With ``occupancy_train_cache`` the per-image
+        probe rows are rebuilt against each fresh grid."""
         if self.occupancy_train <= 0:
             return
         cfg = self._occ_train_cfg
@@ -360,6 +403,7 @@ class NeRF:
                     "%d; switching to exact reference math for the "
                     "remaining epochs", epoch, cfg["until"])
                 self._occ_train_grid = None
+                self._occ_probe_cache = None
             return
         if epoch < cfg["warmup"]:
             return
@@ -381,6 +425,28 @@ class NeRF:
                 "(%d^3, %.1f%% occupied)", epoch, cfg["grid_size"],
                 100.0 * float(jnp.mean(grid)))
         self._occ_train_grid = grid
+        if self.occupancy_train_cache:
+            self._occ_probe_cache = self._build_probe_cache(
+                grid, train_dataset)
+
+    def _build_probe_cache(self, grid, train_dataset):
+        """Probe the fresh grid once per train image ([N, H*W, P] uint8 on
+        device) so steady-state steps gather rows instead of re-probing —
+        the tier's only residual non-kernel cost
+        (`ops/occupancy.probe_rows_for_poses`). Needs the dataset's poses;
+        datasets without them (custom iterables) fall back to the live
+        grid probe."""
+        if train_dataset is None or not hasattr(train_dataset, "poses"):
+            logging.warning(
+                "occupancy_train_cache: train dataset does not expose "
+                "poses/focal; falling back to per-step grid probing")
+            return None
+        from keras_nerf_tpu.ops import occupancy as occ_mod
+        _, probe, o_near, o_far, aabb, _ = self._occ_spec
+        return occ_mod.probe_rows_for_poses(
+            train_dataset.poses, train_dataset.focal, grid,
+            image_height=self.image_height, image_width=self.image_width,
+            near=o_near, far=o_far, n_probe=probe, aabb=aabb)
 
     def _warn_grad_health(self, metrics, where: str):
         """Zero/non-finite gradient diagnostics (the reference's eager-mode
@@ -631,7 +697,7 @@ class NeRF:
 
         history = []
         for epoch in range(initial_epoch, epochs):
-            self._maybe_update_occupancy_train(epoch)
+            self._maybe_update_occupancy_train(epoch, train_dataset)
             for tracker in (*self.metrics.values(),
                             *self.val_metrics.values()):
                 tracker.reset()
@@ -660,7 +726,9 @@ class NeRF:
                             cb.on_train_batch_end(batch_idx, step_metrics)
                 else:
                     self.state, metrics = self._run_train_step(
-                        batch, self._next_key())
+                        batch, self._next_key(),
+                        indices=getattr(train_dataset, "last_indices",
+                                        None))
                     pending.append(metrics)
                     if bar is None or (batch_idx + 1) % postfix_every:
                         continue

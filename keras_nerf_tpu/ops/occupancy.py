@@ -160,6 +160,52 @@ def model_density_fn(params, config, *, use_pallas: bool | None = None,
     return density
 
 
+def probe_bin_mids(near: float, far: float, n_probe: int) -> jnp.ndarray:
+    """Centers of the ``n_probe`` uniform probe bins on ``[near, far]`` —
+    the depth coordinates :func:`occupancy_along_rays` probes at. Shared
+    with the probe-row cache (`engine.train_step occ_rows`) so cached and
+    live probes are bit-identical."""
+    edges = jnp.linspace(near, far, n_probe + 1, dtype=jnp.float32)
+    return 0.5 * (edges[1:] + edges[:-1])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_height", "image_width", "n_probe"))
+def probe_rows_for_poses(
+    poses: jnp.ndarray,
+    focal,
+    occ_grid: jnp.ndarray,
+    *,
+    image_height: int,
+    image_width: int,
+    near: float,
+    far: float,
+    n_probe: int,
+    aabb=DEFAULT_AABB,
+) -> jnp.ndarray:
+    """Probe-row cache builder: ``[N, 4, 4]`` poses -> ``[N, H*W, n_probe]``
+    uint8 occupancy rows against a FIXED grid.
+
+    Ray origins/directions are pose-deterministic (only the stratified
+    depths are jittered — reference `rays.py:116-126`), and the grid is
+    constant between re-bakes, so each image's probe result is a constant
+    the training loop can gather instead of re-probing every step (the
+    occupancy-train tier's only residual non-kernel cost,
+    scripts/profile_occtrain.py). uint8 is exact for a binary grid.
+    """
+    from keras_nerf_tpu.data.rays import generate_rays
+
+    def one(pose):
+        o, d = generate_rays(pose, image_height, image_width, focal)
+        _, occ = occupancy_along_rays(
+            o.reshape(-1, 3), d.reshape(-1, 3), occ_grid, near, far,
+            n_probe, aabb)
+        return occ.astype(jnp.uint8)
+
+    return jax.vmap(one)(poses)
+
+
 def occupancy_along_rays(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
@@ -181,8 +227,7 @@ def occupancy_along_rays(
       AABB read as empty.
     """
     g = occ_grid.shape[0]
-    edges = jnp.linspace(near, far, n_probe + 1, dtype=jnp.float32)
-    mids = 0.5 * (edges[1:] + edges[:-1])                     # [D]
+    mids = probe_bin_mids(near, far, n_probe)                 # [D]
     pts = origin[:, None, :] + direction[:, None, :] * mids[None, :, None]
 
     lo = jnp.asarray(aabb[0], jnp.float32)

@@ -86,6 +86,24 @@ def main():
         print(f"occ step merge={int(merge)}:        {ms:8.1f} ms "
               f"({num_rays / ms * 1e3:,.0f} rays/s)")
 
+    # --- cached-rows steps (--occupancy_train_cache): the per-step probe
+    # replaced by precomputed per-image rows ------------------------------
+    images_, rays_ = batch
+    o_all, d_all, _ = engine._flatten_rays(rays_, num_rays, cfg.n_coarse)
+    _, rows_all = occ_mod.occupancy_along_rays(
+        o_all, d_all, occ_grid, 2.0, 6.0, args.n_probe)
+    rows_all = rows_all.astype(jnp.uint8)
+    for merge in (False, True):
+        occ = occ_base + (merge,)
+        step_rows = jax.jit(lambda s, b, k, r, _o=occ: engine.train_step(
+            s, b, k, optimizer=opt, config=cfg, ray_chunks=rc,
+            occupancy=_o, occ_rows=r))
+        ms = timeit(step_rows, state, batch, key, rows_all,
+                    iters=args.iters,
+                    sync=lambda o: float(o[1]["fine_loss"]))
+        print(f"occ step cached rows m={int(merge)}: {ms:6.1f} ms "
+              f"({num_rays / ms * 1e3:,.0f} rays/s)")
+
     # --- exact step for reference ----------------------------------------
     step = jax.jit(lambda s, b, k: engine.train_step(
         s, b, k, optimizer=opt, config=cfg, ray_chunks=rc))

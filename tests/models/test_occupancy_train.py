@@ -225,6 +225,98 @@ def test_occupancy_train_update_cadence():
     assert grid_ids[4] == grid_ids[3]
 
 
+def test_occupancy_train_cached_rows_step_is_bit_identical():
+    """engine.train_step with cached occ_rows must reproduce the grid-probe
+    step exactly: same probe bins, same RNG stream, uint8 exact for a
+    binary grid (`--occupancy_train_cache` contract)."""
+    cfg = _cfg()
+    opt = engine.make_optimizer("adam", 1e-3)
+    state = engine.init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = _batch(2, 8, 8, cfg.n_coarse)
+    key = jax.random.PRNGKey(5)
+    grid = jax.random.bernoulli(
+        jax.random.PRNGKey(9), 0.4, (8, 8, 8)).astype(jnp.float32)
+    spec = _occ_spec()
+
+    _, rays = batch
+    o, d = rays[0].reshape(-1, 3), rays[1].reshape(-1, 3)
+    _, rows = occ_mod.occupancy_along_rays(o, d, grid, 2.0, 6.0, spec[1])
+    rows = rows.astype(jnp.uint8)
+
+    s_grid, m_grid = engine.train_step(state, batch, key, grid,
+                                       optimizer=opt, config=cfg,
+                                       ray_chunks=64, occupancy=spec)
+    s_rows, m_rows = engine.train_step(state, batch, key, optimizer=opt,
+                                       config=cfg, ray_chunks=64,
+                                       occupancy=spec, occ_rows=rows)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s_grid.fine_params, s_rows.fine_params)
+    np.testing.assert_array_equal(np.asarray(m_grid["fine_loss"]),
+                                  np.asarray(m_rows["fine_loss"]))
+
+
+def _tiny_dataset(n=4, hw=8, seed=0):
+    from keras_nerf_tpu.data.loader import NeRFDataset
+    from keras_nerf_tpu.data.utils import pose_spherical
+
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(size=(n, hw, hw, 4)).astype(np.float32)
+    poses = np.stack([pose_spherical(360.0 * i / n, -30.0, 4.0)
+                      for i in range(n)])
+    return NeRFDataset(images, poses, focal=10.0, near=2.0, far=6.0,
+                       n_samples=8, batch_size=2, shuffle=True, seed=seed)
+
+
+def test_occupancy_train_cache_fit_matches_uncached_fit():
+    """NeRF.fit with --occupancy_train_cache: the probe-row cache is built
+    at each bake and the whole training history matches the uncached
+    tier's run (the cached step is the same math)."""
+    from keras_nerf_tpu.models import NeRF
+
+    def run(cache):
+        model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                     n_layers=2, dense_units=16, skip_layer=1)
+        model.compile(batch_size=2, image_height=8, image_width=8,
+                      ray_chunks=128, occupancy_train=8,
+                      occupancy_train_samples=8, occupancy_train_warmup=1,
+                      occupancy_train_probe=8,
+                      occupancy_train_cache=cache, near=2.0, far=6.0)
+        hist = model.fit(_tiny_dataset(), epochs=3, verbose=False)
+        return model, hist
+
+    m_cache, h_cache = run(True)
+    m_plain, h_plain = run(False)
+    assert m_cache._occ_probe_cache is not None
+    assert m_cache._occ_probe_cache.shape == (4, 64, 8)
+    assert m_cache._occ_probe_cache.dtype == jnp.uint8
+    assert m_plain._occ_probe_cache is None
+    for hc, hp in zip(h_cache, h_plain):
+        np.testing.assert_allclose(hc["fine_loss"], hp["fine_loss"],
+                                   rtol=1e-5)
+
+
+def test_occupancy_train_cache_rejects_mesh_and_pixel_sampling():
+    """The cache indexes whole images on one device; unsupported
+    compositions must fail loudly at compile (VERDICT r3 #6 policy)."""
+    import pytest
+    from keras_nerf_tpu.models import NeRF
+    from keras_nerf_tpu.parallel import make_mesh
+
+    model = NeRF(n_coarse=8, n_fine=8, pos_emb_xyz=4, pos_emb_dir=2,
+                 n_layers=2, dense_units=16, skip_layer=1)
+    with pytest.raises(ValueError, match="single-device"):
+        model.compile(batch_size=8, image_height=8, image_width=8,
+                      ray_chunks=64, mesh=make_mesh(8), occupancy_train=8,
+                      occupancy_train_cache=True, near=2.0, far=6.0)
+    with pytest.raises(ValueError, match="pixel_sampling"):
+        model.compile(batch_size=2, image_height=8, image_width=8,
+                      ray_chunks=128, occupancy_train=8,
+                      occupancy_train_cache=True, pixel_sampling=True,
+                      near=2.0, far=6.0)
+
+
 def test_occupancy_train_until_hybrid_schedule():
     """--occupancy_train_until E: grid-placed fine samples until epoch E,
     exact reference math for the decay tail (VERDICT r3 #3). The grid must

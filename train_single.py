@@ -146,6 +146,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'constant lr, dilate=2 brings the tier to '
                              '-0.23 dB vs exact at 1.53x the step rate '
                              '(docs/QUALITY.md hard-scene A/B)')
+    parser.add_argument('--occupancy_train_cache', action='store_true',
+                        help='cache per-image probe rows against each '
+                             'baked grid instead of re-probing every step '
+                             '(rays are pose-deterministic, so the rows '
+                             'are constant between re-bakes; bit-identical '
+                             'sampling). Single-device whole-image '
+                             'batches only; pays off with '
+                             '--occupancy_train_update >= 2 (the rebuild '
+                             'costs about one epoch of probe savings)')
     parser.add_argument('--occupancy_train_no_merge', action='store_true',
                         help='do NOT rank-merge the stratified coarse '
                              'depths into the occupancy fine pass '
@@ -270,6 +279,7 @@ def run_training(args, mesh=None):
         occupancy_train_merge=not getattr(args, 'occupancy_train_no_merge',
                                           False),
         occupancy_train_update=getattr(args, 'occupancy_train_update', 1),
+        occupancy_train_cache=getattr(args, 'occupancy_train_cache', False),
         occupancy_train_until=getattr(args, 'occupancy_train_until', 0),
         occupancy_train_dilate=getattr(args, 'occupancy_train_dilate', 1),
         pixel_sampling=getattr(args, 'pixel_sampling', False),
