@@ -31,24 +31,26 @@ import jax.numpy as jnp
 BASELINE_RAYS_PER_SEC = 16384 / 3.0  # V100, reference train_single.py:17
 BASELINE_RENDER_FPS = 20.0           # north-star render target
 
-# Padded-FLOP model (docs/DESIGN.md "Workload shape" + render roofline),
-# valid for the reference 8x256 MLPs only: 1.376 MFLOP/point forward
-# (x3 for fwd+dX+dW in training), 1.114 MFLOP/point for the sigma-only
-# coarse render pass.  v5e bf16 nameplate = 197 TFLOPS.
-FWD_FLOP_PER_POINT = 1.376e6
-FWD_FLOP_PER_POINT_SIGMA_ONLY = 1.114e6
+# Padded-FLOP model (docs/DESIGN.md "Workload shape" + render roofline):
+# per-point forward FLOPs are DERIVED from the config's packed kernel
+# shapes (kernels/ray_march.py:padded_fwd_flop_per_point — 1.376 MFLOP at
+# the reference 8x256 MLPs, x3 for fwd+dX+dW in training; 1.114 MFLOP for
+# the sigma-only coarse render pass), so changing --num_layers etc. cannot
+# silently skew the printed mfu. v5e bf16 nameplate = 197 TFLOPS.
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def _mfu(flops_per_sec, args):
+def _mfu(flops_per_sec, args, config):
     """Model FLOP utilization vs the v5e bf16 nameplate — only meaningful
-    for the default 8x256-MLP bf16 config on a TPU backend (the padded-FLOP
-    constants above are shape-specific); returns None otherwise so perf
-    regressions show as a ratio that doesn't drift with config."""
+    when the fused Pallas kernels (whose padded shapes the FLOP model
+    describes) actually run on a TPU backend; returns None otherwise so
+    perf regressions show as a ratio that doesn't drift with config."""
+    from keras_nerf_tpu.models.engine import resolve_use_pallas
     if (args.fp32 or getattr(args, "xla", False)
-            or jax.devices()[0].platform == "cpu"):
+            or jax.devices()[0].platform == "cpu"
+            or not resolve_use_pallas(config)):
         # --xla runs a different (unpadded) FLOP mix than the Pallas-kernel
-        # FLOP model the constants describe.
+        # FLOP model; unsupported shapes fall back to that XLA path too.
         return None
     return round(flops_per_sec / V5E_BF16_PEAK_FLOPS, 3)
 
@@ -101,8 +103,11 @@ def bench_train(args):
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
     }
     # Points/ray = coarse pass (Nc) + fine pass (Nc+Nf merged), x3 fwd+bwd.
+    from keras_nerf_tpu.kernels.ray_march import padded_fwd_flop_per_point
     points_per_ray = config.n_coarse + (config.n_coarse + config.n_fine)
-    mfu = _mfu(rays_per_sec * points_per_ray * FWD_FLOP_PER_POINT * 3, args)
+    flop_per_point = padded_fwd_flop_per_point(config.mlp)
+    mfu = _mfu(rays_per_sec * points_per_ray * flop_per_point * 3,
+               args, config)
     if mfu is not None:
         result["mfu"] = mfu
     return result
@@ -172,10 +177,13 @@ def bench_render(args):
     if not (args.fast_render or args.occupancy_grid
             or args.quantized_render):
         # Exact render: sigma-only coarse (Nc points) + merged fine pass.
+        from keras_nerf_tpu.kernels.ray_march import padded_fwd_flop_per_point
         flop_per_ray = (
-            config.n_coarse * FWD_FLOP_PER_POINT_SIGMA_ONLY
-            + (config.n_coarse + config.n_fine) * FWD_FLOP_PER_POINT)
-        mfu = _mfu(fps * num_rays * flop_per_ray, args)
+            config.n_coarse * padded_fwd_flop_per_point(config.mlp,
+                                                        sigma_only=True)
+            + (config.n_coarse + config.n_fine)
+            * padded_fwd_flop_per_point(config.mlp))
+        mfu = _mfu(fps * num_rays * flop_per_ray, args, config)
         if mfu is not None:
             result["mfu"] = mfu
     return result

@@ -191,6 +191,44 @@ def _layer_uses_enc(i: int, skip: set) -> bool:
     return i == 0 or (i - 1) in skip
 
 
+def padded_fwd_flop_per_point(config: MLPConfig,
+                              sigma_only: bool = False) -> int:
+    """Padded (lane-aligned) matmul FLOPs ONE point costs in the fused
+    forward kernel — exactly the dot shapes `_forward_core` issues against
+    the `pack_mlp_params` layout (encoded input block = LANE lanes, heads
+    lane-padded). This is the FLOP model behind every MFU number the repo
+    reports (bench.py, docs/DESIGN.md rooflines); deriving it from the
+    config keeps those numbers honest when shape flags change. The per-RAY
+    encoding selection matmuls (`ray_encoding_coeffs`) are excluded — they
+    run XLA-side and are O(rays), not O(points). Training cost is 3x this
+    (fwd + dX + dW).
+
+    Default 8x256 reference MLP: 1,376,256 (the "1.376 MFLOP/point" of
+    docs/DESIGN.md); sigma-only (render coarse pass): 1,114,112.
+    """
+    u = config.dense_units
+    skip = set(config.skip_indices())
+    last_skip = (config.n_layers - 1) in skip
+    flops = 2 * LANE * u  # trunk layer 0 reads the [T, 128] encoded tile
+    for i in range(1, config.n_layers):
+        flops += 2 * u * u
+        if _layer_uses_enc(i, skip):
+            flops += 2 * LANE * u  # post-skip layers add the enc matmul
+    if sigma_only:
+        # Only the (128-aligned) sigma slice of the fused head.
+        flops += 2 * u * LANE
+        if last_skip:
+            flops += 2 * LANE * LANE
+        return flops
+    flops += 2 * u * (u + LANE)  # fused sigma/features head
+    if last_skip:
+        flops += 2 * LANE * (u + LANE)
+    half = u // 2
+    flops += 2 * u * half + 2 * LANE * half  # rgb_features: top + enc-dir
+    flops += 2 * half * LANE  # rgb head, lane-padded
+    return flops
+
+
 def pack_mlp_params(params, config: MLPConfig, pos_emb_xyz: int,
                     pos_emb_dir: int) -> dict:
     """Pack a reference-layout param pytree into kernel-layout arrays.

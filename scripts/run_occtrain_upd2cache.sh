@@ -6,6 +6,13 @@
 # Same compressed 100-epoch recipe as the QUALITY.md 128^2 no-merge row
 # (assets/occtrain_nomerge_run.log) so the PSNR/throughput deltas are
 # attributable to the two knobs alone.
+#
+# NOTE on resume: train_single.py auto-resumes from logs/occtrain_upd2cache/
+# model if both weight files exist, so re-running this script after a partial
+# attempt CONTINUES from the last monitor checkpoint (log.csv granularity)
+# instead of reproducing a fresh 100-epoch run. Clear logs/occtrain_upd2cache
+# first if a fresh run is intended; a resumed completion is fine for the
+# QUALITY.md row (the recipe is identical either way) but say so in the log.
 set -e
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
@@ -19,7 +26,14 @@ if not os.path.exists('data/synthetic_128/transforms_train.json'):
 else:
     print('scene exists')
 "
-exec timeout -k 10 3000 python train_single.py --name occtrain_upd2cache \
+if [ -f logs/occtrain_upd2cache/model/coarse.msgpack ]; then
+  echo "NOTE: resuming from existing logs/occtrain_upd2cache checkpoint" \
+    | tee -a assets/occtrain_upd2cache_run.log
+fi
+set +e
+# Cap generous vs the ~31 min comparator (assets/occtrain_nomerge_run.log);
+# the rc marker below makes a cap-fired run distinguishable from a crash.
+timeout -k 10 5400 python train_single.py --name occtrain_upd2cache \
   --data_dir data/synthetic_128 --img_wh 128 --white_bg \
   --num_epochs 100 --batch_size 1 --ray_chunks 16384 \
   --learning_rate 5e-4 --lr_final 5e-6 --log_freq 10 \
@@ -27,4 +41,8 @@ exec timeout -k 10 3000 python train_single.py --name occtrain_upd2cache \
   --occupancy_train_warmup 2 --occupancy_train_no_merge \
   --occupancy_train_update 2 --occupancy_train_cache \
   --model_dirs model --log_dir logs \
-  2>&1 | tee assets/occtrain_upd2cache_run.log
+  2>&1 | tee -a assets/occtrain_upd2cache_run.log
+rc=${PIPESTATUS[0]}
+echo "run exited rc=$rc (124=timeout cap fired)" \
+  | tee -a assets/occtrain_upd2cache_run.log
+exit $rc

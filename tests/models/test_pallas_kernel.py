@@ -624,3 +624,57 @@ def test_saturated_pixel_gradient_matches_xla():
     assert np.abs(gs_xla).max() > 0.0
     rel = np.abs(gs_xla - gs_fused).max() / (np.abs(gs_xla).max() + 1e-12)
     assert rel < 0.05, rel
+
+
+def _flops_from_packed_shapes(packed, sigma_only=False):
+    """Independent FLOP count: 2*K*N summed over the dots `_forward_core`
+    issues, with K/N read off the ACTUAL packed weight matrices."""
+    from keras_nerf_tpu.kernels.ray_march import LANE
+
+    f = 0
+    for w in packed["trunk_w"]:
+        f += 2 * w.shape[0] * w.shape[1]
+    for w in packed["trunk_enc_w"]:
+        if w is not None:
+            f += 2 * w.shape[0] * w.shape[1]
+    if sigma_only:
+        # sigma-only reads the [:, u:] (width-LANE) slice of the fused head
+        f += 2 * packed["w_sf"].shape[0] * LANE
+        if packed["w_sf_enc"] is not None:
+            f += 2 * packed["w_sf_enc"].shape[0] * LANE
+        return f
+    for name in ("w_sf", "w_sf_enc", "w_rf_top", "w_rf_enc", "w_rgb"):
+        w = packed[name]
+        if w is not None:
+            f += 2 * w.shape[0] * w.shape[1]
+    return f
+
+
+@pytest.mark.parametrize("n_layers,skip_layer", [(8, 4), (5, 4), (6, 2)])
+def test_padded_fwd_flop_per_point_matches_packed_shapes(
+        n_layers, skip_layer):
+    """The FLOP model bench.py's mfu uses must equal the count derived from
+    the packed kernel matrices, for default AND last-skip architectures
+    ((5,4) and (6,2) make the final trunk layer follow a skip concat,
+    exercising the w_sf_enc branches)."""
+    from keras_nerf_tpu.kernels.ray_march import padded_fwd_flop_per_point
+
+    config = NeRFConfig(n_layers=n_layers, skip_layer=skip_layer)
+    params, _ = engine.init_params(jax.random.PRNGKey(0), config)
+    packed = pack_mlp_params(params, config.mlp, config.pos_emb_xyz,
+                             config.pos_emb_dir)
+    for sigma_only in (False, True):
+        assert padded_fwd_flop_per_point(
+            config.mlp, sigma_only=sigma_only
+        ) == _flops_from_packed_shapes(packed, sigma_only=sigma_only)
+
+
+def test_padded_fwd_flop_default_constants():
+    """Pin the derived counts to the documented constants (docs/DESIGN.md
+    'Workload shape' 1.376 MFLOP/point; render roofline 1.114 MFLOP
+    sigma-only) for the reference 8x256 architecture."""
+    from keras_nerf_tpu.kernels.ray_march import padded_fwd_flop_per_point
+
+    mlp = NeRFConfig().mlp
+    assert padded_fwd_flop_per_point(mlp) == 1_376_256
+    assert padded_fwd_flop_per_point(mlp, sigma_only=True) == 1_114_112
