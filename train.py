@@ -112,6 +112,10 @@ def main():
                         help='dilation iterations for the baked training '
                              'grid; raise to 2-3 on thin/sub-voxel '
                              'geometry (see train_single.py)')
+    parser.add_argument('--occupancy_train_update', type=int, default=1,
+                        help='re-bake the training occupancy grid every N '
+                             'epochs (see train_single.py). 1 = every '
+                             'epoch (default)')
     parser.add_argument('--debug_grads', action='store_true',
                         help='per-variable gradient-norm diagnostics '
                              '(see train_single.py); debug only')

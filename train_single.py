@@ -119,11 +119,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument('--occupancy_train_update', type=int, default=1,
                         help='re-bake the training occupancy grid every N '
                              'epochs (NerfAcc-style periodic update). 1 = '
-                             'every epoch (default). Larger N amortizes '
-                             'the ~0.3 s/epoch bake; the grid goes stale '
-                             'between bakes so the live model can sharpen '
-                             'past it — measure quality before raising on '
-                             'thin-geometry scenes')
+                             'every epoch (default). Measured with '
+                             '--occupancy_train_cache at N=2 on the easy '
+                             '128^2 scene: quality-neutral (32.68 vs '
+                             '32.47 test) and epoch wall 14.4 -> 10.0 s '
+                             '(docs/QUALITY.md 128^2 A/B). The grid goes '
+                             'stale between bakes so the live model can '
+                             'sharpen past it — measure quality before '
+                             'raising on thin-geometry scenes')
     parser.add_argument('--occupancy_train_until', type=int, default=0,
                         help='hybrid schedule: occupancy-placed fine '
                              'samples until this epoch, exact reference '
@@ -154,7 +157,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              'sampling). Single-device whole-image '
                              'batches only; pays off with '
                              '--occupancy_train_update >= 2 (the rebuild '
-                             'costs about one epoch of probe savings)')
+                             'costs about one epoch of probe savings): '
+                             'measured quality-neutral at update=2 on '
+                             'the easy 128^2 scene, epoch wall 14.4 -> '
+                             '10.0 s (docs/QUALITY.md 128^2 A/B)')
     parser.add_argument('--occupancy_train_no_merge', action='store_true',
                         help='do NOT rank-merge the stratified coarse '
                              'depths into the occupancy fine pass '
