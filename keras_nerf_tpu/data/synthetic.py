@@ -242,7 +242,8 @@ def _camera_rays(c2w: np.ndarray, h: int, w: int, focal: float,
 
 
 def render_pose(c2w: np.ndarray, image_wh: int,
-                supersample: int = 1, scene: str = "spheres") -> np.ndarray:
+                supersample: int = 1, scene: str = "spheres",
+                scale: float = 1.0) -> np.ndarray:
     """Render one ground-truth RGBA frame for a camera-to-world matrix.
 
     ``supersample > 1`` traces at that multiple and box-downsamples —
@@ -252,9 +253,22 @@ def render_pose(c2w: np.ndarray, image_wh: int,
 
     ``scene`` picks the fixture: ``"spheres"`` (easy Lambertian default) or
     ``"hard"`` (thin sub-voxel rods, checkerboard plane, cast shadows,
-    specular — the adversarial fixture)."""
+    specular — the adversarial fixture).
+
+    ``scale`` uniformly scales the WORLD (geometry and camera orbit
+    together: ``c2w``'s translation must already carry the scaled orbit
+    radius). Images are identical at every scale — only the world
+    coordinates the NeRF trains in change — which makes scaled scenes the
+    clean fixture for `--occupancy_aabb` (scale 2 pushes the outer spheres
+    past the default [-2, 2]^3 grid box; inference.py's help: the flag
+    exists for 'scenes outside Blender scale'). Implemented by tracing in
+    unit scale from the down-scaled camera (a uniform world scale leaves
+    unit ray directions unchanged)."""
     ss = max(int(supersample), 1)
     focal = get_focal_from_fov(_BLENDER_FOV, image_wh * ss)
+    if scale != 1.0:
+        c2w = np.array(c2w, dtype=np.float64)
+        c2w[:3, -1] = c2w[:3, -1] / scale
     # Sub-sample k of base pixel i sits at fine coordinate ss*i + k; the
     # box filter's mean is ss*i + (ss-1)/2, i.e. HALF A PIXEL past the
     # base ray at coordinate i (data/rays.py uses no half-pixel offset).
@@ -300,8 +314,14 @@ def write_synthetic_scene(
     seed: int = 0,
     supersample: int = 1,
     scene: str = "spheres",
+    scale: float = 1.0,
 ) -> str:
-    """Write a Blender-format scene directory and return its path."""
+    """Write a Blender-format scene directory and return its path.
+
+    ``scale`` scales the world uniformly (orbit radius ``4 * scale``,
+    geometry to match — see :func:`render_pose`); train with
+    ``--near 2*scale --far 6*scale`` and, for the occupancy tiers, an
+    ``--occupancy_aabb`` covering ``scale * [-2, 2]^3``."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     counts = {"train": n_train, "val": n_val, "test": n_test}
@@ -313,8 +333,9 @@ def write_synthetic_scene(
         for i in range(n):
             theta = float(rng.uniform(0.0, 360.0))
             phi = float(rng.uniform(-60.0, -10.0))
-            c2w = pose_spherical(theta, phi, 4.0)
-            rgba = render_pose(c2w, image_wh, supersample, scene=scene)
+            c2w = pose_spherical(theta, phi, 4.0 * scale)
+            rgba = render_pose(c2w, image_wh, supersample, scene=scene,
+                               scale=scale)
             # Round to the nearest 8-bit code (truncation would bias every
             # mid-tone ~0.5 LSB dark, capping the scene's reachable PSNR).
             img = Image.fromarray(

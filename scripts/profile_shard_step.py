@@ -6,10 +6,13 @@ train step the single chip runs, just on a 1/N height band of every
 image (plus a ~9.5 MB gradient all-reduce that one chip cannot time).
 So the v5e-8 epoch-time estimate is
 
-    steps_per_epoch * t_step(band) + t_eval(band)
+    steps_per_epoch * t_step(band) + n_val * t_eval(band)
 
-with ``t_step(band)`` measured HERE: the full train step on a
-[1, H/N, W] ray batch. Sync discipline: host scalar fetch
+with BOTH terms measured HERE: the full train step and the exact-math
+eval step on a [1, H/N, W] ray batch (under ``--shard_rays`` eval is
+band-sharded too; the whole-image metric all-gather is one [1, H, W, 3]
+collective per model, not measurable single-chip but bounded sub-ms on
+ICI like the 9.5 MB grad all-reduce). Sync discipline: host scalar fetch
 (block_until_ready does not block on the axon backend — CLAUDE.md).
 
 Usage:  python scripts/profile_shard_step.py [--img_wh 128] [--n 8 4 2 1]
@@ -42,6 +45,9 @@ def main():
                    help="train batches per epoch for the printed epoch "
                         "estimate (= n_train_images / batch_size; 100 "
                         "matches the synthetic quality scenes)")
+    p.add_argument("--n_val", type=int, default=8,
+                   help="val images per epoch for the eval term of the "
+                        "epoch estimate (8 matches the quality scenes)")
     args = p.parse_args()
 
     from keras_nerf_tpu.data.synthetic import random_ray_batch
@@ -61,6 +67,8 @@ def main():
         chunks = min(args.ray_chunks, rays) if args.ray_chunks else rays
         step = jax.jit(lambda s, b, k, _rc=chunks: engine.train_step(
             s, b, k, optimizer=opt, config=cfg, ray_chunks=_rc))
+        ev = jax.jit(lambda s, b, k, _rc=chunks: engine.eval_step(
+            s, b, k, config=cfg, ray_chunks=_rc))
         key = jax.random.PRNGKey(2)
         out = None
         for _ in range(3):
@@ -71,11 +79,24 @@ def main():
             out = step(state, batch, key)
         float(out[1]["fine_loss"])
         ms = (time.perf_counter() - t0) / args.iters * 1e3
+
+        em = None
+        for _ in range(3):
+            em = ev(state, batch, key)
+        float(em["fine_loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            em = ev(state, batch, key)
+        float(em["fine_loss"])
+        ev_ms = (time.perf_counter() - t0) / args.iters * 1e3
+
+        epoch_s = (args.steps_per_epoch * ms
+                   + args.n_val * ev_ms) / 1e3
         print(f"band 1/{n}: [{1}x{h}x{args.img_wh}] = {rays:6d} rays  "
-              f"chunks {chunks}  step {ms:7.2f} ms  "
+              f"chunks {chunks}  step {ms:7.2f} ms  eval {ev_ms:7.2f} ms  "
               f"({rays / ms * 1e3:,.0f} rays/s/device, "
-              f"{n}-chip epoch ~ "
-              f"{args.steps_per_epoch * ms / 1e3:.1f} s + eval)")
+              f"{n}-chip epoch ~ {args.steps_per_epoch}x{ms:.0f}ms + "
+              f"{args.n_val}x{ev_ms:.0f}ms = {epoch_s:.1f} s)")
 
 
 if __name__ == "__main__":
