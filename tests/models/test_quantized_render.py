@@ -47,9 +47,18 @@ def _quantize_one(params, cfg, o, d, t):
         last_skip
 
 
-def test_flatten_roundtrip(setup):
+@pytest.fixture(scope="module")
+def quantized_fine(setup):
+    """Calibrate+quantize the shared fine params ONCE per module (four
+    tests consume the identical result; re-deriving it cost ~8 s each on
+    the 1-core CI box — the round-5 suite-wall-time trim)."""
     cfg, pc, pf, o, d, t = setup
-    q, _, last_skip = _quantize_one(pf, cfg, o, d, t)
+    return _quantize_one(pf, cfg, o, d, t)
+
+
+def test_flatten_roundtrip(setup, quantized_fine):
+    cfg, pc, pf, o, d, t = setup
+    q, _, last_skip = quantized_fine
     flat = qz.flatten_quantized(q)
     q2, rest = qz.unflatten_quantized(cfg.mlp, last_skip, flat)
     assert not rest
@@ -62,13 +71,13 @@ def test_flatten_roundtrip(setup):
                 assert x is y
 
 
-def test_int8_reference_close_to_f32(setup):
+def test_int8_reference_close_to_f32(setup, quantized_fine):
     """The XLA int8 reference forward must track the f32 MLP (PTQ noise
     budget on random params) and its sigma_only path must be exact."""
     cfg, pc, pf, o, d, t = setup
     from keras_nerf_tpu.kernels.ray_march import _forward_core
 
-    q, enc, last_skip = _quantize_one(pf, cfg, o, d, t)
+    q, enc, last_skip = quantized_fine
     packed = pack_mlp_params(pf, cfg.mlp, cfg.pos_emb_xyz, cfg.pos_emb_dir)
     rgb32, sig32, _ = _forward_core(cfg.mlp, last_skip, enc, packed)
     rgb8, sig8, _ = qz.forward_core_int8(cfg.mlp, last_skip,
@@ -82,13 +91,13 @@ def test_int8_reference_close_to_f32(setup):
     np.testing.assert_array_equal(np.asarray(sig8), np.asarray(sig8b))
 
 
-def test_kernel_matches_int8_reference(setup):
+def test_kernel_matches_int8_reference(setup, quantized_fine):
     """The Pallas quantized kernel (interpret) must compute the same
     function as forward_core_int8 + render_rays — the only divergence is
     the kernel's in-kernel encoding (polynomial sin off base/slope
     coefficients), the same budget the bf16 kernel tests carry."""
     cfg, pc, pf, o, d, t = setup
-    q, enc, _ = _quantize_one(pf, cfg, o, d, t)
+    q, enc, _ = quantized_fine
 
     img, depth, weights = fused_train_chunk(
         q, o, d, t, None, cfg.mlp, white_background=True,
@@ -158,14 +167,14 @@ def test_quantized_composes_with_fast_render(setup):
     assert not np.array_equal(a, b_)
 
 
-def test_quantized_composes_with_occupancy(setup):
+def test_quantized_composes_with_occupancy(setup, quantized_fine):
     """--quantized_render + --occupancy_grid: the int8 fine MLP runs over
     the occupancy-placed samples. Identical points and quadrature math
     (same key, same grid), so the f32/int8 gap is pure PTQ noise."""
     cfg, pc, pf, o, d, t = setup
     from keras_nerf_tpu.ops import occupancy as occ
 
-    q, _, _ = _quantize_one(pf, cfg, o, d, t)
+    q, _, _ = quantized_fine
     g = np.zeros((8, 8, 8), np.float32)
     g[2:6, 2:6, 2:6] = 1.0
     grid = jnp.asarray(g)
