@@ -9,19 +9,25 @@ committing a long run". This script IS that comparison.
 
 Each arm trains the SAME model/seed/data-order for ``--epochs`` short
 epochs with its recipe's decay schedule COMPRESSED into the probe budget
-(``lr_decay_steps = epochs * steps_per_epoch``), i.e. every arm is a
-miniature of its full run: a decaying recipe traverses its whole anneal,
-a constant recipe stays constant. That preserves the mechanism that
-separates the recipes at full length (QUALITY.md hard-scene A/B: decay
-wins where the scene is fit early and the anneal polishes; constant wins
-where the scene is still underfit when the decay would strangle the lr),
-which a plain truncated-schedule probe cannot see — 10 of 100 epochs
-only decays 5e-4 by ~0.6x, so truncation just compares base lrs early.
+(``lr_decay_steps = epochs * steps_per_epoch``), so a decaying arm
+traverses its whole anneal in miniature.
+
+What the probe CAN and CANNOT rank (measured, assets/lr_probe_*.log vs
+the full-length runs in docs/QUALITY.md):
+
+- It ranks the BASE lr reliably: on both committed scenes the 1e-3 arms
+  beat the 5e-4 arm in the probe exactly as they do at full length.
+- It does NOT predict constant-vs-decay at a shared base: the compressed
+  anneal strangles the lr while the scene is still underfit, so decay
+  arms lose the probe even where the full-length decay run wins (spheres:
+  probe constant-1e-3 24.5 vs decay-1e-3 19.8; full length inverts,
+  33.18 vs 33.97). Schedule choice is a full-length property; see the
+  "lr recipes are scene-dependent" section of docs/QUALITY.md.
 
 Probe cost: arms x epochs x steps_per_epoch train steps, one val sweep
 per arm per epoch-tail — defaults (3 arms x 10 epochs x 50 steps at 128²)
-run in under 5 minutes on one v5e chip (plus one-time compiles on a cold
-jit cache).
+run in ~4 minutes on one v5e chip (measured 73 s/arm warm; plus one-time
+compiles on a cold jit cache).
 
 Usage:
   python scripts/lr_probe.py --data_dir data/synthetic_128 --img_wh 128 \
@@ -77,6 +83,9 @@ def run_arm(lr, lr_final, datasets, args, config):
     # Identical data order across arms: same root seed, epoch counter reset.
     train_ds._epoch = 0
     key = jax.random.PRNGKey(args.seed + 1)
+    # Train folds use [0, epochs*steps); eval folds start past that range
+    # (fold_in data must be non-negative: uint32).
+    eval_base = args.epochs * steps
     curve = []
     for epoch in range(args.epochs):
         metrics = None
@@ -86,7 +95,7 @@ def run_arm(lr, lr_final, datasets, args, config):
             state, metrics = step(
                 state, batch, jax.random.fold_in(key, epoch * steps + i))
         float(metrics["fine_loss"])  # host sync (axon: block_until_ready no-op)
-        psnrs = [float(ev(state, b, jax.random.fold_in(key, -1 - epoch))
+        psnrs = [float(ev(state, b, jax.random.fold_in(key, eval_base + epoch))
                        ["fine_psnr"]) for b in val_ds]
         curve.append(float(np.mean(psnrs)))
     return curve
@@ -102,6 +111,9 @@ def main():
     p.add_argument("--far", type=float, default=6.0)
     p.add_argument("--num_coarse_samples", type=int, default=64)
     p.add_argument("--num_fine_samples", type=int, default=128)
+    p.add_argument("--num_layers", type=int, default=8)
+    p.add_argument("--num_units", type=int, default=256)
+    p.add_argument("--skip_layer", type=int, default=4)
     p.add_argument("--optimizer", type=str, default="adam")
     p.add_argument("--ray_chunks", type=int, default=16384)
     p.add_argument("--epochs", type=int, default=10,
@@ -123,6 +135,8 @@ def main():
 
     config = NeRFConfig(
         n_coarse=args.num_coarse_samples, n_fine=args.num_fine_samples,
+        n_layers=args.num_layers, dense_units=args.num_units,
+        skip_layer=args.skip_layer,
         white_background=args.white_bg, compute_dtype="bfloat16")
     loader = DatasetLoader(args.data_dir, args.white_bg)
     train_ds, val_ds, _ = loader.load_dataset(
@@ -141,7 +155,7 @@ def main():
         t0 = time.perf_counter()
         curve = run_arm(lr, lr_final, (train_ds, val_batches), args, config)
         dt = time.perf_counter() - t0
-        results.append((label, curve, dt))
+        results.append((label, curve, dt, lr))
         print(f"arm [{label}]: " + " ".join(f"{v:.2f}" for v in curve)
               + f"  ({dt:.0f} s)")
 
@@ -149,15 +163,19 @@ def main():
     print(f"\n=== probe ranking (final val PSNR after {args.epochs} "
           f"compressed epochs x {args.steps_per_epoch or len(train_ds)} "
           f"steps) ===")
-    for rank, (label, curve, _) in enumerate(results, 1):
+    for rank, (label, curve, _, _) in enumerate(results, 1):
         tail = curve[-1] - curve[-2] if len(curve) > 1 else 0.0
         print(f"{rank}. {label:>18}  val {curve[-1]:6.2f} dB  "
               f"(last-epoch slope {tail:+.2f})")
-    best = results[0][0]
-    print(f"\nrecommendation: [{best}] — train the long run with this "
-          f"recipe (decay arms: keep lr_final, set --lr_final/"
-          f"--learning_rate from the label; the full run decays over its "
-          f"own length, the probe compressed it)")
+    best_label, _, _, best_lr = results[0]
+    print(f"\nrecommendation: base lr {best_lr:g} (probe winner: "
+          f"[{best_label}]). The probe ranks the BASE lr; it cannot see "
+          f"the full-length benefit of a decay schedule (the compressed "
+          f"anneal bites while the scene is still underfit — see the "
+          f"module docstring). For the long run, compare constant "
+          f"{best_lr:g} against a decay FROM {best_lr:g}; on the "
+          f"committed scenes the measured winners at full length are in "
+          f"docs/QUALITY.md ('lr recipes are scene-dependent').")
 
 
 if __name__ == "__main__":

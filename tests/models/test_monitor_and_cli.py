@@ -425,3 +425,34 @@ def test_eval_checkpoint_script(tmp_path, scene, capsys, monkeypatch):
     assert record["split"] == "test"
     for k in ("coarse_psnr", "fine_psnr", "coarse_ssim", "fine_ssim"):
         assert abs(record[k] - float(expected[k])) < 1e-2, (k, record)
+
+
+def test_lr_probe_script(scene, capsys, monkeypatch):
+    """scripts/lr_probe.py ranks short exact-math lr arms end-to-end.
+
+    Regression: the eval PRNG fold used a negative fold_in value, which
+    overflows uint32 and crashed the first real probe run — this drives
+    the train AND eval fold paths on every arm."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lr_probe", os.path.join(REPO, "scripts", "lr_probe.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "lr_probe.py", "--data_dir", scene, "--img_wh", "16", "--white_bg",
+        "--num_coarse_samples", "8", "--num_fine_samples", "8",
+        "--num_layers", "2", "--num_units", "16", "--skip_layer", "1",
+        "--ray_chunks", "256", "--epochs", "2", "--steps_per_epoch", "2",
+        "--recipes", "1e-3:0", "5e-4:5e-6",
+    ])
+    mod.main()
+    out = capsys.readouterr().out
+    assert "probe ranking" in out
+    assert "recommendation:" in out
+    ranked = [l for l in out.splitlines()
+              if l.startswith("1. ") or l.startswith("2. ")]
+    assert len(ranked) == 2
+    for line in ranked:  # both arms produced a finite val PSNR
+        val = float(line.split("val")[1].split("dB")[0])
+        assert np.isfinite(val)
