@@ -98,7 +98,10 @@ def main():
                         help='axis-aligned bounds of the occupancy grid '
                              '(xyz min then xyz max); default [-2,2]^3 '
                              'matches Blender-scale scenes — geometry '
-                             'outside the box is culled to background')
+                             'outside the box is culled to background '
+                             '(measured -5.7 dB on a 2x-scale scene under '
+                             'the default box, restored by the correct '
+                             'box: docs/QUALITY.md, assets/aabb_demo.log)')
     parser.add_argument('--sigma_threshold', type=float, default=1.0,
                         help='density threshold for a voxel to count as '
                              'occupied when baking the grid')
