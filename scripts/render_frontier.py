@@ -143,9 +143,10 @@ def main():
             grid = occ_mod.bake_occupancy_grid(
                 density, args.occ_grid, occ_mod.DEFAULT_AABB,
                 sigma_threshold=1.0, dilate=args.occ_dilate)
+            _setup_cache["occ_frac"] = 100.0 * float(jnp.mean(grid))
             print(f"occupancy grid {args.occ_grid}^3 "
                   f"(dilate={args.occ_dilate}): "
-                  f"{100.0 * float(jnp.mean(grid)):.1f}% occupied")
+                  f"{_setup_cache['occ_frac']:.1f}% occupied")
             _setup_cache["occ_grid"] = grid
         return _setup_cache["occ_grid"]
 
@@ -235,7 +236,11 @@ def main():
     record = {
         "model": args.model, "img_wh": args.img_wh,
         "bench_wh": args.bench_wh, "iters": args.iters,
-        "occ_grid": args.occ_grid, "occ_occupied_pct": round(occ_frac, 1),
+        "occ_grid": args.occ_grid,
+        # None when a --tiers filter skipped every occupancy tier (the
+        # grid is baked lazily and the fraction only exists post-bake).
+        "occ_occupied_pct": (round(_setup_cache["occ_frac"], 1)
+                             if "occ_frac" in _setup_cache else None),
         "backend": jax.devices()[0].platform, "rows": rows,
     }
     with open(args.out_json, "w") as fh:

@@ -456,3 +456,53 @@ def test_lr_probe_script(scene, capsys, monkeypatch):
     for line in ranked:  # both arms produced a finite val PSNR
         val = float(line.split("val")[1].split("dB")[0])
         assert np.isfinite(val)
+
+
+def test_render_frontier_script(tmp_path, scene, monkeypatch):
+    """scripts/render_frontier.py writes its JSON record end-to-end.
+
+    Regression: the record-building referenced an undefined name for the
+    occupancy occupied-fraction after the bake went lazy, so a completed
+    (expensive) sweep crashed before writing JSON/PNG. Runs a filtered
+    one-tier sweep on a tiny checkpoint through the occupancy bake path."""
+    import importlib.util
+    import json as _json
+
+    sys.path.insert(0, REPO)
+    from train_single import build_arg_parser, run_training
+
+    args = build_arg_parser().parse_args([
+        "--name", "rf", "--data_dir", scene, "--img_wh", "16",
+        "--num_coarse_samples", "8", "--num_fine_samples", "8",
+        "--num_layers", "2", "--num_units", "16", "--skip_layer", "1",
+        "--num_epochs", "1", "--batch_size", "2", "--ray_chunks", "512",
+        "--white_bg",
+        "--log_dir", str(tmp_path / "logs"),
+        "--model_dirs", str(tmp_path / "models"),
+    ])
+    run_training(args)
+
+    spec = importlib.util.spec_from_file_location(
+        "render_frontier", os.path.join(REPO, "scripts",
+                                        "render_frontier.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out_json = str(tmp_path / "fr.json")
+    out_png = str(tmp_path / "fr.png")
+    monkeypatch.setattr(sys, "argv", [
+        "render_frontier.py",
+        "--model", str(tmp_path / "models" / "rf"),
+        "--data", scene, "--img_wh", "16", "--bench_wh", "16",
+        "--iters", "1", "--occ_grid", "8", "--ray_chunks", "256",
+        "--tiers", "occupancy K=32",
+        "--out_json", out_json, "--out_png", out_png,
+    ])
+    mod.main()
+    record = _json.loads(open(out_json).read())
+    assert record["occ_occupied_pct"] is not None  # bake ran -> recorded
+    assert len(record["rows"]) == 1
+    row = record["rows"][0]
+    assert row["tier"] == "occupancy K=32"
+    for k in ("psnr_db", "delta_db", "fps"):
+        assert np.isfinite(row[k])
+    assert os.path.exists(out_png)
